@@ -1,0 +1,275 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft._
+import graft.functions._
+import graft.norm.Normalizers
+
+/** Near-duplicate detection pipelines over a document table, replacing
+  * the reference's blocking-index + pairwise-scoring core
+  * (/root/reference/src/clusterer.py:375-559) with cluster-native
+  * candidate generation:
+  *
+  *   exact       — hash groupBy (identical normalized text)
+  *   minhash LSH — k-shingle -> MinHash signature -> band hash ->
+  *                 shuffle self-join within band -> verify
+  *   simhash     — 64-bit SimHash, hamming-ball via pigeonhole block
+  *                 join (radius r => r+1 blocks; exact recall)
+  *   winnowing   — fingerprint join for long shared substrings,
+  *                 verified by exact suffix-automaton LCS
+  *
+  * All stages are DataFrame ops; nothing is collected to the driver
+  * (the reference materializes all pairs driver-side,
+  * clusterer.py:509-517 — the one design we must never replicate).
+  */
+object DedupConfigDefaults {
+  val ShingleK = 5       // word shingles
+  val NumHashes = 128
+  val Bands = 32         // 32 bands x 4 rows: P(candidate|s=0.8) ~ 1-5e-8
+  val RowsPerBand = 4
+  val Seed = 42L
+  val Threshold = 0.8
+}
+
+/** Pinned signature/banding config; identical config => identical
+  * signatures across runs and cluster sizes.
+  */
+final case class DedupConfig(
+    shingleK: Int = DedupConfigDefaults.ShingleK,
+    charShingles: Boolean = false,
+    numHashes: Int = DedupConfigDefaults.NumHashes,
+    bands: Int = DedupConfigDefaults.Bands,
+    rowsPerBand: Int = DedupConfigDefaults.RowsPerBand,
+    seed: Long = DedupConfigDefaults.Seed,
+    threshold: Double = DedupConfigDefaults.Threshold,
+    /** verify candidates with exact shingle-set Jaccard instead of the
+      * signature estimate (heavier: ships shingle-hash sets through the
+      * join; use estimate at web scale)
+      */
+    exactVerify: Boolean = false,
+    /** drop band buckets larger than this (0 = unlimited). Recall-
+      * accounted skew guard for degenerate boilerplate; exact-dup
+      * collapse runs first, so only near-dup mega-templates hit it.
+      */
+    maxBandBucket: Int = 0) {
+  require(numHashes == bands * rowsPerBand, "numHashes must equal bands*rowsPerBand")
+}
+
+object Dedup {
+
+  // ------------------------------------------------------------ exact
+
+  /** Exact dedup: cluster_id = min id among identical values of
+    * `textCol`. One shuffle (partial-agg groupBy), no join for the
+    * cluster key thanks to window-free min-broadcast... kept as
+    * aggregate + equi-join on the 64-bit content hash.
+    */
+  def exactClusters(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val h = xxhash64(col(textCol))
+    val withHash = df.withColumn("_h", h)
+    val reps = withHash.groupBy($"_h")
+      .agg(min(col(idCol)).cast("long").as("cluster_id"),
+        count(lit(1)).as("cluster_size"))
+    withHash.join(reps, "_h").drop("_h")
+  }
+
+  // ------------------------------------------------- signature table
+
+  /** Narrow per-document signature table:
+    * (id, sig array<long>, simhash long, shingles array<long> hashes).
+    * This is the checkpointable resume point (see io.Warehouse).
+    */
+  def signatures(df: DataFrame, idCol: String, textCol: String,
+      cfg: DedupConfig = DedupConfig()): DataFrame = {
+    val text = Normalizers.normalizeString(col(textCol))
+    val sh =
+      if (cfg.charShingles) char_shingles(text, cfg.shingleK)
+      else word_shingles(text, cfg.shingleK)
+    // no isNotNull filter on sig: Catalyst would push it below the
+    // projection and recompute the full MinHash per row (observed in
+    // .explain); posexplode skips null arrays and verify drops null
+    // sims, so empty docs fall out downstream for free
+    df.select(
+      col(idCol).cast("long").as("id"),
+      minhash_signature(sh, cfg.numHashes, cfg.seed).as("sig"),
+      simhash64(ws_tokens(text), cfg.seed).as("simhash"),
+      (if (cfg.exactVerify)
+        array_distinct(transform(sh, s => xxhash64(s)))
+      else lit(null).cast("array<long>")).as("shingle_hashes")
+    )
+  }
+
+  // ------------------------------------------------------ minhash LSH
+
+  /** Candidate pairs via LSH banding: posexplode band hashes, shuffle
+    * self-join on (band, hash) with id1 < id2, distinct.
+    */
+  def lshCandidates(sigs: DataFrame, cfg: DedupConfig = DedupConfig()): DataFrame = {
+    val r = cfg.rowsPerBand
+    val bandArr = array((0 until cfg.bands).map(b =>
+      xxhash64(slice($"sig", b * r + 1, r), lit(b))): _*)
+    var bands = sigs.select($"id", posexplode(bandArr).as(Seq("band", "bh")))
+
+    if (cfg.maxBandBucket > 0) {
+      // recall-accounted skew guard: drop oversized buckets (logged by
+      // the caller via bandBucketStats), unlike the reference's silent
+      // skip_high_cardinality (matcher.py:643-649)
+      val hot = bands.groupBy($"band", $"bh").count()
+        .where($"count" > cfg.maxBandBucket)
+        .select($"band", $"bh", lit(true).as("_hot"))
+      bands = bands.join(broadcast(hot), Seq("band", "bh"), "left")
+        .where($"_hot".isNull).drop("_hot")
+    }
+
+    val a = bands.select($"band", $"bh", $"id".as("id1"))
+    val b = bands.select($"band", $"bh", $"id".as("id2"))
+    a.join(b, Seq("band", "bh"))
+      .where($"id1" < $"id2")
+      .select($"id1", $"id2")
+      .distinct()
+  }
+
+  /** Bucket-size distribution per band — the skew/metrics surface. */
+  def bandBucketStats(sigs: DataFrame, cfg: DedupConfig = DedupConfig()): DataFrame = {
+    val r = cfg.rowsPerBand
+    val bandArr = array((0 until cfg.bands).map(b =>
+      xxhash64(slice($"sig", b * r + 1, r), lit(b))): _*)
+    sigs.select(posexplode(bandArr).as(Seq("band", "bh")))
+      .groupBy($"band", $"bh").count()
+      .groupBy($"band").agg(
+        count(lit(1)).as("buckets"),
+        max($"count").as("largest_bucket"),
+        sum(when($"count" > 1, $"count" * ($"count" - 1) / 2).otherwise(0)).as("candidate_pairs"))
+  }
+
+  /** Verify candidate pairs: estimated (signature agreement) or exact
+    * (shingle-hash-set Jaccard) similarity, filtered at cfg.threshold.
+    * Output: (id1, id2, sim).
+    */
+  def verifyPairs(candidates: DataFrame, sigs: DataFrame,
+      cfg: DedupConfig = DedupConfig()): DataFrame = {
+    val simCol =
+      if (cfg.exactVerify)
+        array_jaccard($"a.shingle_hashes", $"b.shingle_hashes")
+      else
+        minhash_jaccard($"a.sig", $"b.sig")
+    val narrow =
+      if (cfg.exactVerify) sigs.select($"id", $"shingle_hashes")
+      else sigs.select($"id", $"sig")
+    candidates
+      .join(narrow.as("a"), candidates("id1") === col("a.id"))
+      .join(narrow.as("b"), candidates("id2") === col("b.id"))
+      .select($"id1", $"id2", simCol.as("sim"))
+      .where($"sim" >= cfg.threshold)
+  }
+
+  /** Full near-dup pipeline over (idCol, textCol):
+    *  1. exact-dup collapse (identical normalized text -> one
+    *     representative) — kills quadratic LSH buckets for boilerplate
+    *     and is the single biggest scale win;
+    *  2. MinHash/LSH on representatives;
+    *  3. verify; 4. connected components; 5. union exact + near edges;
+    *  6. assign cluster_id = min member id + cluster_size.
+    */
+  def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
+      cfg: DedupConfig = DedupConfig()): DataFrame = {
+    val norm = df.select(col(idCol).cast("long").as("id"),
+      Normalizers.normalizeString(col(textCol)).as("_t"))
+    val grouped = norm.groupBy($"_t").agg(min($"id").as("rep"), collect_list($"id").as("ids"))
+    val exactEdges = grouped
+      .select($"rep", explode($"ids").as("member"))
+      .where($"rep" =!= $"member")
+      .select($"rep".as("u"), $"member".as("v"))
+
+    val reps = grouped.select($"rep".as("id"), $"_t".as("text"))
+    val sigs = signatures(reps, "id", "text", cfg)
+    val nearEdges = verifyPairs(lshCandidates(sigs, cfg), sigs, cfg)
+      .select($"id1".as("u"), $"id2".as("v"))
+
+    val edges = exactEdges.union(nearEdges)
+    ConnectedComponents.assign(df.withColumn(idCol, col(idCol).cast("long")), idCol, edges)
+  }
+
+  // --------------------------------------------------------- simhash
+
+  /** SimHash near-exact pairs within hamming radius r: pigeonhole —
+    * split 64 bits into r+1 blocks; any pair within distance r agrees
+    * on >= 1 block (exact recall). Join per block, verify with
+    * bit_count(xor) <= r.
+    */
+  def simhashPairs(sigs: DataFrame, radius: Int = 3): DataFrame = {
+    val nBlocks = radius + 1
+    val width = 64 / nBlocks
+    val blocks = array((0 until nBlocks).map(i =>
+      shiftright($"simhash", i * width).bitwiseAND(lit((1L << width) - 1))): _*)
+    val exploded = sigs.select($"id", $"simhash", posexplode(blocks).as(Seq("blk", "bv")))
+    val a = exploded.select($"blk", $"bv", $"id".as("id1"), $"simhash".as("h1"))
+    val b = exploded.select($"blk", $"bv", $"id".as("id2"), $"simhash".as("h2"))
+    a.join(b, Seq("blk", "bv"))
+      .where($"id1" < $"id2")
+      .select($"id1", $"id2", bit_count($"h1".bitwiseXOR($"h2")).as("hamming"))
+      .where($"hamming" <= radius)
+      .distinct()
+  }
+
+  /** SimHash-based clustering (near-exact dups). */
+  def simhashClusters(df: DataFrame, idCol: String, textCol: String,
+      radius: Int = 3, cfg: DedupConfig = DedupConfig()): DataFrame = {
+    val sigs = signatures(
+      df.select(col(idCol).cast("long").as("id"), col(textCol).as("text")),
+      "id", "text", cfg)
+    val edges = simhashPairs(sigs, radius).select($"id1".as("u"), $"id2".as("v"))
+    ConnectedComponents.assign(df.withColumn(idCol, col(idCol).cast("long")), idCol, edges)
+  }
+
+  // ------------------------------------------------------- winnowing
+
+  /** Shared-span candidate pairs: documents sharing >= minShared
+    * winnowing fingerprints; verified with exact suffix-automaton LCS
+    * >= minSpan code points. The distributed "suffix-array substring
+    * pass": fingerprints shuffle-join globally (a per-partition suffix
+    * array cannot see cross-partition pairs).
+    */
+  def sharedSpanPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 24, window: Int = 8, minShared: Int = 2, minSpan: Int = 64): DataFrame = {
+    val norm = df.select(col(idCol).cast("long").as("id"),
+      Normalizers.normalizeString(col(textCol)).as("_t"))
+    val fps = norm.select($"id", explode(winnow_fingerprint($"_t", k, window)).as("fp"))
+    val cand = fps.as("a").join(fps.as("b"), Seq("fp"))
+      .where($"a.id" < $"b.id")
+      .groupBy($"a.id".as("id1"), $"b.id".as("id2"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .where($"shared_fps" >= minShared)
+    cand.join(norm.select($"id".as("id1"), $"_t".as("t1")), "id1")
+      .join(norm.select($"id".as("id2"), $"_t".as("t2")), "id2")
+      .select($"id1", $"id2", $"shared_fps",
+        longest_common_substring($"t1", $"t2").as("lcs_len"))
+      .where($"lcs_len" >= minSpan)
+  }
+
+  // ------------------------------------------------ n-gram jaccard
+
+  /** Word n-gram Jaccard pairs above a threshold, via exploded
+    * shingle-hash equi-join (set semantics; |A∩B| from the join count,
+    * |A∪B| = |A|+|B|-|A∩B|).
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val norm = df.select(col(idCol).cast("long").as("id"),
+      Normalizers.normalizeString(col(textCol)).as("_t"))
+    val grams = norm.select($"id",
+      explode(array_distinct(word_shingles($"_t", n))).as("g"))
+    val sizes = grams.groupBy($"id").agg(count(lit(1)).as("n"))
+    val inter = grams.as("a").join(grams.as("b"), Seq("g"))
+      .where($"a.id" < $"b.id")
+      .groupBy($"a.id".as("id1"), $"b.id".as("id2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select($"id".as("id1"), $"n".as("n1")), "id1")
+      .join(sizes.select($"id".as("id2"), $"n".as("n2")), "id2")
+      .select($"id1", $"id2",
+        ($"inter".cast("double") / ($"n1" + $"n2" - $"inter").cast("double")).as("jaccard"))
+      .where($"jaccard" >= threshold)
+  }
+}

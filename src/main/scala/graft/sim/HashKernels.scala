@@ -1,0 +1,155 @@
+package graft.sim
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic hashing kernels for the near-duplicate pipeline:
+  * MinHash signatures, SimHash fingerprints, rolling-hash document
+  * fingerprints. All hash families are pinned by an explicit seed from
+  * config (never wall-clock / JVM-hash dependent), so signatures are
+  * reproducible across runs, sessions, and cluster sizes — the property
+  * the reference achieves trivially by being single-process
+  * (/root/reference/src/matcher.py:607-650 builds its blocking index
+  * in-memory per run; we must be stable across distributed re-runs).
+  *
+  * Base 64-bit string hash = Spark's own XXH64 (same function behind the
+  * built-in `xxhash64`), so fixtures and SQL cross-checks can reproduce
+  * our hashes with built-ins.
+  */
+object HashKernels {
+
+  /** Golden-ratio odd constant for deriving independent seeds. */
+  final val SeedMix = 0x9e3779b97f4a7c15L
+
+  @inline def hashString(s: UTF8String, seed: Long): Long =
+    XXH64.hashUTF8String(s, seed)
+
+  /** MinHash signature over a shingle array using the
+    * Kirsch-Mitzenmacher construction: two independent base hashes
+    * h1, h2 per shingle; slot i minimizes h1 + i*h2 + i*i.
+    * Returns null for empty input (a document with no shingles has no
+    * similarity support).
+    */
+  def minhash(shingles: ArrayData, numHashes: Int, seed: Long): Array[Long] = {
+    val n = shingles.numElements()
+    if (n == 0) return null
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      if (!shingles.isNullAt(j)) {
+        val s = shingles.getUTF8String(j)
+        val h1 = XXH64.hashUTF8String(s, seed)
+        val h2 = XXH64.hashUTF8String(s, seed ^ SeedMix) | 1L
+        var i = 0
+        var acc = h1
+        while (i < numHashes) {
+          if (acc < sig(i)) sig(i) = acc
+          acc += h2 + 2L * i + 1L // h1 + i*h2 + i*i incrementally
+          i += 1
+        }
+      }
+      j += 1
+    }
+    sig
+  }
+
+  /** 64-bit SimHash over a token array: per-token XXH64, +1/-1 vote per
+    * bit, sign -> bit. Duplicate tokens vote multiple times (term
+    * frequency weighting). Empty input -> 0L.
+    */
+  def simhash(tokens: ArrayData, seed: Long): Long = {
+    val n = tokens.numElements()
+    val counts = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      if (!tokens.isNullAt(j)) {
+        val h = XXH64.hashUTF8String(tokens.getUTF8String(j), seed)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      j += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Winnowing-style document fingerprint: polynomial rolling hash over
+    * code points with window-minimum selection (Schleimer et al.,
+    * SIGMOD'03 "Winnowing: Local Algorithms for Document
+    * Fingerprinting"). Returns the selected k-gram hashes (distinct,
+    * sorted) — a compact sketch for substring-level containment.
+    */
+  def winnowFingerprint(text: UTF8String, k: Int, window: Int): Array[Long] = {
+    val s = text.toString
+    val cps = s.codePoints().toArray
+    val n = cps.length
+    if (n < k) {
+      if (n == 0) return Array.empty[Long]
+      // degenerate: hash the whole text
+      return Array(XXH64.hashUTF8String(text, 0x77696e6eL))
+    }
+    val nGrams = n - k + 1
+    val hashes = new Array[Long](nGrams)
+    // polynomial rolling hash base 1000003 (odd), full 64-bit wrap
+    val base = 1000003L
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow *= base; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * base + cps(i); i += 1 }
+    hashes(0) = mix64(h)
+    i = 1
+    while (i < nGrams) {
+      h = (h - cps(i - 1) * pow) * base + cps(i + k - 1)
+      hashes(i) = mix64(h)
+      i += 1
+    }
+    if (nGrams <= window) {
+      var min = hashes(0)
+      i = 1
+      while (i < nGrams) { if (lessU(hashes(i), min)) min = hashes(i); i += 1 }
+      return Array(min)
+    }
+    // window-minimum selection (rightmost min per window, dedup adjacent)
+    val out = new java.util.TreeSet[java.lang.Long]()
+    var w = 0
+    while (w <= nGrams - window) {
+      var min = hashes(w)
+      var idx = w
+      var j = w + 1
+      while (j < w + window) {
+        if (lessU(hashes(j), min) || (hashes(j) == min && j > idx)) { min = hashes(j); idx = j }
+        j += 1
+      }
+      out.add(min)
+      w += 1
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    arr
+  }
+
+  @inline private def lessU(a: Long, b: Long): Boolean =
+    java.lang.Long.compareUnsigned(a, b) < 0
+
+  /** Stafford variant-13 finalizer (public domain splitmix64 mix). */
+  @inline def mix64(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+}

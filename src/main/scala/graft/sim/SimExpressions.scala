@@ -1,0 +1,115 @@
+package graft.sim
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the kernels Spark lacks. Each stays
+  * inside whole-stage codegen by emitting a single static call into
+  * graft.sim.{SimKernels,HashKernels} (the same pattern Spark's own
+  * `Levenshtein`/`XxHash64` use). Null semantics: null-intolerant —
+  * any null input -> null output; empty-string semantics live in the
+  * kernels (both-empty -> 1.0 etc., /root/reference/src/algorithms.py).
+  */
+trait SimBinaryStringDouble extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  /** fully-qualified static kernel, e.g. "graft.sim.SimKernels.jaroWinkler" */
+  def kernel: String
+  def compute(a: String, b: String): Double
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    compute(l.asInstanceOf[UTF8String].toString, r.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = $kernel($a.toString(), $b.toString());")
+}
+
+case class JaroWinklerSim(left: Expression, right: Expression) extends SimBinaryStringDouble {
+  override def kernel: String = "graft.sim.SimKernels.jaroWinkler"
+  override def compute(a: String, b: String): Double = SimKernels.jaroWinkler(a, b)
+  override def prettyName: String = "jaro_winkler_sim"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class TokenSetRatioSim(left: Expression, right: Expression) extends SimBinaryStringDouble {
+  override def kernel: String = "graft.sim.SimKernels.tokenSetRatio"
+  override def compute(a: String, b: String): Double = SimKernels.tokenSetRatio(a, b)
+  override def prettyName: String = "token_set_ratio"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class TokenSortRatioSim(left: Expression, right: Expression) extends SimBinaryStringDouble {
+  override def kernel: String = "graft.sim.SimKernels.tokenSortRatio"
+  override def compute(a: String, b: String): Double = SimKernels.tokenSortRatio(a, b)
+  override def prettyName: String = "token_sort_ratio"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class DateSim(left: Expression, right: Expression) extends SimBinaryStringDouble {
+  override def kernel: String = "graft.sim.SimKernels.dateSimilarity"
+  override def compute(a: String, b: String): Double = SimKernels.dateSimilarity(a, b)
+  override def prettyName: String = "date_sim"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** MinHash signature over an array<string> of shingles; returns
+  * array<long> of length numHashes, or null for an empty shingle set.
+  * Hash family pinned by (numHashes, seed) — see HashKernels.minhash.
+  */
+case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = HashKernels.minhash(v.asInstanceOf[ArrayData], numHashes, seed)
+    if (arr == null) null else UnsafeArrayData.fromPrimitiveArray(arr)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tmp = ctx.freshName("mh")
+    nullSafeCodeGen(ctx, ev, a => s"""
+      long[] $tmp = graft.sim.HashKernels.minhash($a, $numHashes, ${seed}L);
+      if ($tmp == null) { ${ev.isNull} = true; } else {
+        ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($tmp);
+      }""")
+  }
+  override def prettyName: String = "minhash_signature"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** 64-bit SimHash over an array<string> of tokens. */
+case class SimHash64(child: Expression, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    HashKernels.simhash(v.asInstanceOf[ArrayData], seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.sim.HashKernels.simhash($a, ${seed}L);")
+  override def prettyName: String = "simhash64"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Winnowing fingerprint: array<long> of selected k-gram hashes. */
+case class WinnowFingerprint(child: Expression, k: Int, window: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(
+      HashKernels.winnowFingerprint(v.asInstanceOf[UTF8String], k, window))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"""
+      ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+        graft.sim.HashKernels.winnowFingerprint($a, $k, $window));""")
+  override def prettyName: String = "winnow_fingerprint"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
