@@ -201,8 +201,11 @@ object Dedup {
   def simhashPairs(sigs: DataFrame, radius: Int = 3): DataFrame = {
     val nBlocks = radius + 1
     val width = 64 / nBlocks
+    // JVM shifts are mod-64: 1L<<64 == 1, so width=64 (radius 0) needs
+    // an explicit all-ones mask
+    val mask = if (width == 64) -1L else (1L << width) - 1
     val blocks = array((0 until nBlocks).map(i =>
-      shiftright($"simhash", i * width).bitwiseAND(lit((1L << width) - 1))): _*)
+      shiftright($"simhash", i * width).bitwiseAND(lit(mask))): _*)
     val exploded = sigs.select($"id", $"simhash", posexplode(blocks).as(Seq("blk", "bv")))
     val a = exploded.select($"blk", $"bv", $"id".as("id1"), $"simhash".as("h1"))
     val b = exploded.select($"blk", $"bv", $"id".as("id2"), $"simhash".as("h2"))

@@ -1,0 +1,109 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.functions.ws_tokens
+import graft.norm.Normalizers
+
+/** Text-analysis operators for a training-data pipeline: language ID,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * built-in Column compositions (codegen'd, whole-stage), deliberately
+  * SQL-mirrorable so each has a DuckDB oracle in SparkEntry.oracleSql.
+  *
+  * The reference has no text-analysis surface (its closest analog is
+  * the semantic column typer, /root/reference/src/column_analyzer.py:33-119);
+  * these are the scale-path additions required of the new engine.
+  */
+object TextAnalysis {
+
+  /** Fixed per-language marker (stopword) profiles. Deterministic,
+    * config-pinned — NOT trained. Order of `langs` is the tie-break
+    * priority for classification.
+    */
+  val langs: Seq[String] = Seq("en", "de", "fr", "es", "zh")
+
+  val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for", "on", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den", "von", "sich"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "des", "du", "que", "pas", "pour", "dans"),
+    "es" -> Seq("el", "los", "las", "y", "es", "un", "una", "por", "con", "para", "su", "lo"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "他", "这", "中", "大", "上")
+  )
+
+  /** Marker-hit count for one language over a token array. */
+  def markerHits(tokens: Column, lang: String): Column =
+    size(filter(tokens, t => t.isInCollection(markers(lang))))
+
+  /** n-gram-heuristic language ID: argmax of marker hits, ties broken
+    * by `langs` order, zero hits -> "und". Mirrors to SQL as a CASE
+    * chain over list_filter counts.
+    */
+  def langId(text: Column): Column = {
+    val toks = ws_tokens(Normalizers.normalizeString(text))
+    val hits = langs.map(l => l -> markerHits(toks, l))
+    val best = greatest(hits.map(_._2): _*)
+    hits.foldRight(lit("und")) { case ((l, h), acc) =>
+      when(best > 0 && h === best, lit(l)).otherwise(acc)
+    }
+    // foldRight + `when` chain = first lang in `langs` order hitting the
+    // max wins (strict priority), matching the SQL CASE mirror.
+  }
+
+  /** Whitespace token count (empty text -> 0). */
+  def wsTokenCount(text: Column): Column = size(ws_tokens(text))
+
+  /** BPE-ish pre-tokenizer count: runs of word chars, or single
+    * non-word non-space chars (the shape GPT-2-style pre-tokenizers
+    * split on). ASCII word class keeps Java-regex and RE2 (DuckDB)
+    * semantics identical.
+    */
+  val BpePattern = "[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
+
+  /** Type-token ratio over whitespace tokens (0 for empty). */
+  def typeTokenRatio(text: Column): Column = {
+    val toks = ws_tokens(Normalizers.normalizeString(text))
+    when(size(toks) === 0, 0.0)
+      .otherwise(size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
+  }
+
+  /** Stopword (any-language marker) ratio over whitespace tokens. */
+  def stopwordRatio(text: Column): Column = {
+    val all = markers.values.flatten.toSeq.distinct
+    val toks = ws_tokens(Normalizers.normalizeString(text))
+    when(size(toks) === 0, 0.0)
+      .otherwise(size(filter(toks, t => t.isInCollection(all))).cast("double") /
+        size(toks).cast("double"))
+  }
+
+  /** Punctuation-character ratio over non-space characters. */
+  def punctRatio(text: Column): Column = {
+    val nonSpace = length(regexp_replace(text, "\\s", ""))
+    val punct = length(regexp_replace(text, "[^\\p{Punct}]", ""))
+    when(nonSpace === 0, 0.0).otherwise(punct.cast("double") / nonSpace.cast("double"))
+  }
+
+  /** Mean whitespace-token length in characters (0 for empty). */
+  def meanTokenLen(text: Column): Column = {
+    val toks = ws_tokens(Normalizers.normalizeString(text))
+    when(size(toks) === 0, 0.0)
+      .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
+        .cast("double") / size(toks).cast("double"))
+  }
+
+  /** Composite quality score in [0,1] — a deterministic, documented
+    * heuristic (length band + lexical diversity + low punctuation), the
+    * shape a pretraining quality filter takes. Formula is arithmetic
+    * only so the oracle recomputes it exactly.
+    *
+    *   q = 0.4*min(nTokens/100, 1) + 0.3*ttr + 0.3*(1 - min(punct*4, 1))
+    */
+  def qualityScore(text: Column): Column = {
+    val n = wsTokenCount(Normalizers.normalizeString(text)).cast("double")
+    val lenBand = least(n / lit(100.0), lit(1.0))
+    val diversity = typeTokenRatio(text)
+    val punctPenalty = lit(1.0) - least(punctRatio(text) * 4.0, lit(1.0))
+    lenBand * 0.4 + diversity * 0.3 + punctPenalty * 0.3
+  }
+}
