@@ -26,7 +26,8 @@ object HtmlExtract {
   /** Pure-Column extraction: codegen'd, no UDF. */
   def extractText(html: Column): Column = {
     val decoded = decode(html, "UTF-8")
-    val noScript = regexp_replace(decoded,
+    val noHead = regexp_replace(decoded, "(?is)<head[^>]*>.*?</head>", " ")
+    val noScript = regexp_replace(noHead,
       "(?is)<(script|style)[^>]*>.*?</\\1>", " ")
     val noTags = regexp_replace(noScript, "<[^>]*>", " ")
     val unescaped = entities.foldLeft(noTags) { case (acc, (e, r)) =>

@@ -14,12 +14,15 @@ object Normalizers {
     */
   def safe(c: Column): Column = coalesce(c.cast("string"), lit(""))
 
-  /** Generic normalization: lowercase, trim, collapse whitespace
+  /** Generic normalization: lowercase, strip, collapse whitespace
     * (normalizers.py:172-177). This is also the byte-identical extracted
-    * -text contract for the web-page pipeline.
+    * -text contract for the web-page pipeline. Collapse runs BEFORE
+    * trim because Spark's trim strips only ' ' while Python's strip()
+    * takes all whitespace — collapse-then-trim is equivalent to
+    * Python's strip-then-collapse for every input.
     */
   def normalizeString(c: Column): Column =
-    regexp_replace(lower(trim(safe(c))), "\\s+", " ")
+    trim(regexp_replace(lower(safe(c)), "\\s+", " "))
 
   /** Email: lowercase + trim (normalizers.py:159-164). */
   def normalizeEmail(c: Column): Column = lower(trim(safe(c)))

@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dedup.{Dedup, DedupConfig, WebDedup}
+import graft.io.Warehouse
+import graft.norm.Normalizers
+
+/** North-rule acceptance: dup-pair recall >= 0.99 vs a reference scorer
+  * at the same shingle/signature config, checkpoint/resume semantics,
+  * and the byte-identical extraction contract (BASELINE.json).
+  */
+class WebDedupSpec extends AnyFunSuite {
+  private val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val cfg = DedupConfig(exactVerify = true)
+
+  private def pages = fixtures.WebPages.fromDocuments(
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+
+  /** In-test reference scorer: the semantics the reference engine
+    * computes pair-at-a-time (clusterer.py:561-645) — exact k-shingle
+    * jaccard over every pair at the pinned config, driver-side plain
+    * Scala. Small-fixture only.
+    */
+  private def referencePairs(texts: Map[Long, String], k: Int, th: Double): Set[(Long, Long)] = {
+    def norm(s: String) = s.toLowerCase.trim.replaceAll("\\s+", " ")
+    def shingles(s: String): Set[String] = {
+      val toks = norm(s).split(" ").filter(_.nonEmpty)
+      if (toks.isEmpty) Set.empty
+      else if (toks.length <= k) Set(toks.mkString(" "))
+      else toks.sliding(k).map(_.mkString(" ")).toSet
+    }
+    val sh = texts.map { case (id, t) => id -> shingles(t) }
+    val ids = texts.keys.toArray.sorted
+    val out = Set.newBuilder[(Long, Long)]
+    for (i <- ids.indices; j <- (i + 1) until ids.length) {
+      val a = sh(ids(i)); val b = sh(ids(j))
+      if (a.nonEmpty && b.nonEmpty) {
+        val inter = a.intersect(b).size.toDouble
+        val jac = inter / (a.size + b.size - inter)
+        if (jac >= th) out += ((ids(i), ids(j)))
+      }
+    }
+    out.result()
+  }
+
+  test("byte-identical extraction per url (input_hint contract)") {
+    val mismatches = graft.extract.HtmlExtract.extractDF(pages.withColumnRenamed("text", "expected"))
+      .where(col("text") =!= Normalizers.normalizeString(col("expected")))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("dup-pair recall >= 0.99 and precision 1.0 vs reference scorer; cluster partitions match") {
+    val wh = new Warehouse(java.nio.file.Files.createTempDirectory("wh").toString, spark)
+    val clusters = WebDedup.run(pages, wh, cfg)
+
+    val texts = pages.select(col("page_id"), col("text")).as[(Long, String)].collect().toMap
+    val refPairs = referencePairs(texts, cfg.shingleK, cfg.threshold)
+
+    // pipeline same-cluster relation restricted to reference pairs
+    val assign = clusters.select(col("page_id"), col("cluster_id")).as[(Long, Long)].collect().toMap
+    val found = refPairs.count { case (a, b) => assign(a) == assign(b) }
+    val recall = found.toDouble / refPairs.size
+    assert(refPairs.nonEmpty, "fixture must contain dup pairs")
+    assert(recall >= 0.99, s"recall $recall over ${refPairs.size} reference pairs")
+
+    // precision at the PAIR level: verified pairs are exact-jaccard
+    // filtered, so every emitted pair must be a reference pair
+    val emitted = wh.read("pairs").select(col("id1"), col("id2")).as[(Long, Long)].collect().toSet
+    assert(emitted.subsetOf(refPairs), "exactVerify pairs must be true dup pairs")
+
+    // partition equality: same-cluster relation == union-find of refPairs
+    val parent = scala.collection.mutable.Map[Long, Long](texts.keys.map(k => k -> k).toSeq: _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    refPairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val refRoots = texts.keys.map(k => k -> find(k)).toMap
+    val sameRef = refPairs.forall { case (a, b) => refRoots(a) == refRoots(b) }
+    assert(sameRef)
+    // compare as partitions (not ids): group pages by cluster both ways
+    val ours = assign.groupBy(_._2).values.map(_.keys.toSet).toSet
+    val ref = refRoots.groupBy(_._2).values.map(_.keys.toSet).toSet
+    assert(ours == ref, "cluster assignments must match the reference partition")
+  }
+
+  test("resume: second run rebuilds nothing and returns identical clusters") {
+    val root = java.nio.file.Files.createTempDirectory("wh").toString
+    val wh1 = new Warehouse(root, spark)
+    val c1 = WebDedup.run(pages, wh1, cfg).collect().map(_.toSeq).toSet
+    assert(wh1.buildCount == 6)
+
+    val wh2 = new Warehouse(root, spark)
+    val c2 = WebDedup.run(pages, wh2, cfg).collect().map(_.toSeq).toSet
+    assert(wh2.buildCount == 0, "resumed run must reuse every committed stage")
+    assert(c1 == c2)
+  }
+
+  test("resume after kill: missing commit marker rebuilds only that stage onward") {
+    val root = java.nio.file.Files.createTempDirectory("wh").toString
+    val wh1 = new Warehouse(root, spark)
+    val c1 = WebDedup.run(pages, wh1, cfg).collect().map(_.toSeq).toSet
+
+    // simulate a crash mid-stage-4: data present, manifest never written
+    java.nio.file.Files.delete(java.nio.file.Paths.get(root, "pairs", "_manifest.json"))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(root, "clusters", "_manifest.json"))
+    val wh2 = new Warehouse(root, spark)
+    val c2 = WebDedup.run(pages, wh2, cfg).collect().map(_.toSeq).toSet
+    assert(wh2.buildCount == 2, "only the uncommitted stages rebuild")
+    assert(c1 == c2)
+  }
+
+  test("config change invalidates checkpoints (no stale reuse)") {
+    val root = java.nio.file.Files.createTempDirectory("wh").toString
+    WebDedup.run(pages, new Warehouse(root, spark), cfg)
+    val wh2 = new Warehouse(root, spark)
+    WebDedup.run(pages, wh2, cfg.copy(threshold = 0.9))
+    assert(wh2.buildCount == 6, "different fingerprint must rebuild every stage")
+  }
+
+  test("pipeline metrics are written with lineage counts") {
+    val wh = new Warehouse(java.nio.file.Files.createTempDirectory("wh").toString, spark)
+    WebDedup.run(pages, wh, cfg)
+    val m = wh.metrics().as[(String, String, Long)].collect()
+      .map { case (_, k, v) => k -> v }.toMap
+    assert(m("pages") == 725)
+    assert(m("dup_pages") > 0)
+    assert(m("near_pairs") > 0)
+  }
+
+  test("result is independent of input partitioning (shuffle determinism)") {
+    val wh1 = new Warehouse(java.nio.file.Files.createTempDirectory("wh").toString, spark)
+    val wh2 = new Warehouse(java.nio.file.Files.createTempDirectory("wh").toString, spark)
+    val c1 = WebDedup.run(pages.repartition(1), wh1, cfg).collect().map(_.toSeq).toSet
+    val c2 = WebDedup.run(pages.repartition(13), wh2, cfg).collect().map(_.toSeq).toSet
+    assert(c1 == c2)
+  }
+}
