@@ -1,0 +1,220 @@
+package graft.config
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode, TextNode}
+import scala.jdk.CollectionConverters._
+
+/** JSON job config with the reference's shape and error semantics
+  * (/root/reference/src/config_validator.py): modes matching /
+  * clustering / search, source specs (path string or table object),
+  * match_config / cluster_config, `${VAR[:default]}` environment
+  * interpolation, and mode-dependency checks with the same messages.
+  * Parsed with Jackson (ships with Spark) into case classes.
+  */
+final case class SourceSpec(
+    path: Option[String] = None,
+    table: Option[String] = None,
+    host: Option[String] = None,
+    user: Option[String] = None,
+    password: Option[String] = None,
+    database: Option[String] = None) {
+  def isJdbc: Boolean = table.isDefined
+}
+
+final case class ColumnMapping(source1: String, source2: Option[String], weight: Double,
+    colType: Option[String])
+
+final case class MatchSettings(
+    columns: Seq[ColumnMapping] = Nil,
+    threshold: Double = 0.75,
+    undecidedRange: Double = 0.05,
+    returnAllMatches: Boolean = false,
+    blockingStrategies: Seq[String] = Seq("first_char", "three_gram", "last_three"))
+
+final case class ClusterSettings(
+    columns: Seq[ColumnMapping] = Nil,
+    threshold: Double = 0.75,
+    generateSummary: Boolean = false,
+    blockingStrategies: Seq[String] = Seq("first_char", "three_gram", "last_three"))
+
+final case class JobConfig(
+    mode: String,
+    source1: Option[SourceSpec],
+    source2: Option[SourceSpec],
+    output: SourceSpec,
+    matchConfig: MatchSettings = MatchSettings(),
+    clusterConfig: ClusterSettings = ClusterSettings())
+
+object JobConfig {
+
+  private val mapper = new ObjectMapper()
+
+  /** Parse + validate a config JSON string. Mirrors
+    * config_validator.py:176-239 (mode checks verbatim) and :282-314
+    * (env interpolation).
+    */
+  def parse(json: String, env: Map[String, String] = sys.env): JobConfig = {
+    val root =
+      try mapper.readTree(json)
+      catch {
+        case e: Exception =>
+          throw new IllegalArgumentException(s"Invalid JSON in configuration file: ${e.getMessage}")
+      }
+    val resolved = resolveEnv(root, env)
+    val mode = textOr(resolved, "mode", "matching")
+    if (!Set("matching", "clustering", "search").contains(mode))
+      throw new IllegalArgumentException(s"Configuration validation error at 'mode': " +
+        s"'$mode' is not one of ['matching', 'clustering', 'search']")
+
+    // mode dependency checks — messages per config_validator.py:208-224
+    val has1 = resolved.has("source1")
+    val has2 = resolved.has("source2")
+    mode match {
+      case "clustering" =>
+        if (has2) throw new IllegalArgumentException(
+          "clustering mode does not require source2. Remove source2 from config.")
+        if (!has1) throw new IllegalArgumentException(
+          "clustering mode requires source1. Add source1 to config.")
+      case "search" =>
+        if (!has2) throw new IllegalArgumentException(
+          "search mode requires source2 (master dataset). Add source2 to config.")
+        if (has1) throw new IllegalArgumentException(
+          "search mode does not require source1. Remove source1 from config or set mode to 'matching'.")
+      case _ =>
+        if (!has1) throw new IllegalArgumentException(
+          "matching mode requires source1. Add source1 to config.")
+        if (!has2) throw new IllegalArgumentException(
+          "matching mode requires source2. Add source2 to config or set mode to 'clustering' or 'search'.")
+    }
+    if (!resolved.has("output"))
+      throw new IllegalArgumentException("Configuration validation error at 'output': required")
+
+    JobConfig(
+      mode = mode,
+      source1 = if (has1) Some(sourceSpec(resolved.get("source1"))) else None,
+      source2 = if (has2) Some(sourceSpec(resolved.get("source2"))) else None,
+      output = sourceSpec(resolved.get("output")),
+      matchConfig = matchSettings(resolved.get("match_config")),
+      clusterConfig = clusterSettings(resolved.get("cluster_config")))
+  }
+
+  def parseFile(path: String): JobConfig = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p))
+      throw new java.io.FileNotFoundException(s"Configuration file not found: $path")
+    parse(java.nio.file.Files.readString(p))
+  }
+
+  // ------------------------------------------------------------ pieces
+
+  private def sourceSpec(n: JsonNode): SourceSpec =
+    if (n.isTextual) SourceSpec(path = Some(n.asText()))
+    else {
+      if (!n.has("table"))
+        throw new IllegalArgumentException(
+          "Configuration validation error at 'source': 'table' is a required property")
+      SourceSpec(
+        table = Some(n.get("table").asText()),
+        host = opt(n, "host"), user = opt(n, "user"),
+        password = opt(n, "password"), database = opt(n, "database"))
+    }
+
+  private def matchSettings(n: JsonNode): MatchSettings = {
+    if (n == null) return MatchSettings()
+    MatchSettings(
+      columns = columns(n, requireSource2 = true),
+      threshold = boundedNumber(n, "threshold", 0.75),
+      undecidedRange = boundedNumber(n, "undecided_range", 0.05),
+      returnAllMatches = if (n.has("return_all_matches")) n.get("return_all_matches").asBoolean
+        else false,
+      blockingStrategies = strategies(n))
+  }
+
+  private def clusterSettings(n: JsonNode): ClusterSettings = {
+    if (n == null) return ClusterSettings()
+    ClusterSettings(
+      columns = columns(n, requireSource2 = false),
+      threshold = boundedNumber(n, "threshold", 0.75),
+      generateSummary = if (n.has("generate_summary")) n.get("generate_summary").asBoolean
+        else false,
+      blockingStrategies = strategies(n))
+  }
+
+  private def columns(n: JsonNode, requireSource2: Boolean): Seq[ColumnMapping] = {
+    val arr = n.get("columns")
+    if (arr == null) return Nil
+    arr.asInstanceOf[ArrayNode].elements().asScala.map { c =>
+      if (!c.has("source1"))
+        throw new IllegalArgumentException(
+          "Configuration validation error at 'columns': 'source1' is a required property")
+      if (requireSource2 && !c.has("source2"))
+        throw new IllegalArgumentException(
+          "Configuration validation error at 'columns': 'source2' is a required property")
+      val w = if (c.has("weight")) c.get("weight").asDouble else 1.0
+      if (w < 0) throw new IllegalArgumentException(
+        "Configuration validation error at 'columns.weight': must be >= 0")
+      ColumnMapping(c.get("source1").asText(),
+        if (c.has("source2")) Some(c.get("source2").asText()) else None,
+        w, opt(c, "type"))
+    }.toSeq
+  }
+
+  private def strategies(n: JsonNode): Seq[String] =
+    if (n.has("blocking_strategies"))
+      n.get("blocking_strategies").elements().asScala.map(_.asText()).toSeq
+    else Seq("first_char", "three_gram", "last_three")
+
+  private def boundedNumber(n: JsonNode, field: String, default: Double): Double = {
+    if (!n.has(field)) return default
+    val v = n.get(field).asDouble
+    if (v < 0 || v > 1)
+      throw new IllegalArgumentException(
+        s"Configuration validation error at '$field': must be between 0 and 1")
+    v
+  }
+
+  private def opt(n: JsonNode, f: String): Option[String] =
+    if (n.has(f)) Some(n.get(f).asText()) else None
+
+  private def textOr(n: JsonNode, f: String, default: String): String =
+    if (n.has(f)) n.get(f).asText() else default
+
+  // --------------------------------------------------- env interpolation
+
+  private val envPattern = java.util.regex.Pattern.compile("\\$\\{([^}:]+)(?::([^}]*))?\\}")
+
+  /** `${VAR}` / `${VAR:default}` resolution over every string node
+    * (config_validator.py:282-314; same error text for missing vars).
+    */
+  private[config] def resolveEnv(node: JsonNode, env: Map[String, String]): JsonNode = node match {
+    case o: ObjectNode =>
+      val out = mapper.createObjectNode()
+      o.fields().asScala.foreach { e => out.set[JsonNode](e.getKey, resolveEnv(e.getValue, env)); () }
+      out
+    case a: ArrayNode =>
+      val out = mapper.createArrayNode()
+      a.elements().asScala.foreach { e => out.add(resolveEnv(e, env)); () }
+      out
+    case t: TextNode =>
+      val m = envPattern.matcher(t.asText())
+      val sb = new StringBuilder
+      var last = 0
+      var found = false
+      while (m.find()) {
+        found = true
+        sb.append(t.asText().substring(last, m.start()))
+        val name = m.group(1)
+        val default = Option(m.group(2))
+        env.get(name).orElse(default) match {
+          case Some(v) => sb.append(v)
+          case None => throw new IllegalArgumentException(
+            s"Environment variable '$name' not found and no default value provided. " +
+              "Set it in your .env file or environment.")
+        }
+        last = m.end()
+      }
+      if (!found) t
+      else { sb.append(t.asText().substring(last)); new TextNode(sb.toString) }
+    case other => other
+  }
+}

@@ -6,10 +6,16 @@ import graft._
 
 /** Distributed connected components over a pair table, replacing the
   * reference's driver-side union-find
-  * (/root/reference/src/clusterer.py:41-78,774-784) with the
-  * alternating large-star / small-star algorithm (Kiveris et al.,
-  * "Connected Components in MapReduce and Beyond", SoCC'14) — O(log n)
-  * rounds, each a pair of shuffles, no driver materialization.
+  * (/root/reference/src/clusterer.py:41-78,774-784) with min-label
+  * propagation plus pointer jumping (hash-to-min with path compression,
+  * Rastogi et al., "Finding Connected Components in Map-Reduce in
+  * Logarithmic Rounds", ICDE'13): every node keeps the minimum label
+  * seen; each round it takes the min over its neighbors' labels AND its
+  * label's label (jump). Jumping doubles compressed-path depth per
+  * round, so rounds are O(log diameter); each round is ~3 shuffle
+  * barriers — less than half the large-star/small-star round — which
+  * matters because CC rounds are the serial critical path of the whole
+  * dedup job at every cluster size.
   *
   * Input:  edges DataFrame with two long columns (src, dst).
   * Output: (id, cluster_id) where cluster_id = min member id of the
@@ -17,80 +23,80 @@ import graft._
   * the reference's enumeration-order dense ids (compared as partitions,
   * see SURVEY §5).
   *
-  * Skew: large-star attaches every neighbor of a high-degree node to
-  * the component minimum, so hot nodes shrink each round; the groupBy
-  * min is a partial (map-side) aggregate, and AQE handles residual join
-  * skew. Lineage is truncated every round via localCheckpoint to keep
-  * plans O(1) deep.
+  * Skew: a hot component floods its min label to all members — both
+  * the message groupBy and the jump join aggregate map-side (partial
+  * min), so hot labels reduce before the shuffle; AQE handles residual
+  * join skew. Lineage is truncated every round via lazy localCheckpoint
+  * (materialized by the convergence checksum — one job per round).
   */
 object ConnectedComponents {
 
   /** @param edges      two-column DataFrame (any names) of long ids
-    * @param maxRounds  safety bound; the algorithm converges in
-    *                   O(log n) rounds (SoCC'14 Thm 3.2)
+    * @param maxRounds  safety bound; pointer jumping converges in
+    *                   O(log n) rounds
     */
   def run(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
     val cols = edges.columns
     require(cols.length == 2, s"edges must have 2 columns, got ${cols.mkString(",")}")
-    // canonical undirected edge set, self-loops dropped
-    var e = edges
+    // undirected adjacency, self-loops dropped, both directions
+    val canon = edges
       .select(col(cols(0)).cast("long").as("u"), col(cols(1)).cast("long").as("v"))
       .where($"u" =!= $"v")
-      .select(least($"u", $"v").as("u"), greatest($"u", $"v").as("v"))
+    val adj = canon.union(canon.select($"v".as("u"), $"u".as("v")))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
+
+    // label(x) = min(x, min neighbor) — every non-isolated node appears
+    // as u in adj, so this covers all nodes
+    var labels = adj.groupBy($"u".as("id"))
+      .agg(min($"v").as("mn"))
+      .select($"id", least($"id", $"mn").as("lbl"))
+      .localCheckpoint(false)
 
     var converged = false
     var round = 0
-    var prevSig = checksum(e)
+    var prevSig = checksum(labels)
     while (!converged && round < maxRounds) {
-      // ---- large-star: for each node u, connect strictly-larger
-      // neighbors to m = min(N(u) ∪ {u})
-      val nbrsL = e.select($"u", $"v").union(e.select($"v".as("u"), $"u".as("v")))
-      val minsL = nbrsL.groupBy($"u").agg(min($"v").as("mn"))
-        .select($"u", least($"u", $"mn").as("m"))
-      val large = nbrsL.where($"v" > $"u")
-        .join(minsL, "u")
-        .where($"v" =!= $"m")
-        .select(least($"v", $"m").as("u"), greatest($"v", $"m").as("v"))
-        .distinct()
+      // neighbor messages: x's label flows to every neighbor
+      val msgs = adj.join(labels.withColumnRenamed("id", "u"), "u")
+        .select($"v".as("id"), $"lbl")
+      // fresh aliases on both union sides: `labels` attributes reach the
+      // union through both branches (directly and via the msgs join),
+      // and duplicate expression ids across branches trip Catalyst's
+      // union constraint rewrite (AttributeMap lookup, Spark 4.1.2)
+      // persisted: the jump self-join below reads it twice — without
+      // this the whole message/groupBy subtree computes twice per round
+      val viaEdges = labels.select($"id".as("id"), $"lbl".as("lbl"))
+        .union(msgs.select($"id".as("id"), $"lbl".as("lbl")))
+        .groupBy($"id").agg(min($"lbl").as("lbl"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // pointer jump: also take label(label(x)) — labels always point to
+      // smaller ids in the same component, so this is safe and compresses
+      // chains exponentially
+      val jumped = viaEdges.as("a")
+        .join(viaEdges.select($"id".as("jid"), $"lbl".as("jlbl")).as("b"),
+          col("a.lbl") === col("b.jid"), "left")
+        .select(col("a.id").as("id"),
+          least(col("a.lbl"), coalesce(col("jlbl"), col("a.lbl"))).as("lbl"))
+        .localCheckpoint(false)
 
-      // ---- small-star: for each node u with smaller neighbors
-      // N = {v ∈ Γ(u) : v < u}, connect N ∪ {u} to m = min(N)
-      val nbrsS = large.select($"u", $"v").union(large.select($"v".as("u"), $"u".as("v")))
-        .where($"v" < $"u")
-      val minsS = nbrsS.groupBy($"u").agg(min($"v").as("m"))
-      // m <= v < u by construction, so emitted edges are already canonical
-      val small = nbrsS.join(minsS, "u")
-        .select(explode(array(
-          struct($"m".as("a"), $"v".as("b")),
-          struct($"m".as("a"), $"u".as("b")))).as("e"))
-        .select($"e.a".as("u"), $"e.b".as("v"))
-        .where($"u" =!= $"v")
-        .distinct()
-        .localCheckpoint(true)
-
-      // convergence: edge set unchanged (order-free checksum + count)
-      val sig = checksum(small)
+      val sig = checksum(jumped)
+      viaEdges.unpersist(blocking = false)
       converged = sig == prevSig
       prevSig = sig
-      e = small
+      labels = jumped
       round += 1
     }
 
-    // fixpoint is a star forest: every edge is (root=u, member=v), u<v
-    val members = e.select($"v".as("id"), $"u".as("cluster_id"))
-    val roots = e.select($"u".as("id")).distinct()
-      .select($"id", $"id".as("cluster_id"))
-    members.union(roots).distinct()
+    labels.select($"id", $"lbl".as("cluster_id"))
   }
 
-  private def checksum(e: DataFrame): (Long, String) = {
+  private def checksum(l: DataFrame): (Long, String) = {
     // decimal(38) sum: ANSI mode (Spark 4 default) would overflow a
     // long sum of 64-bit hashes
-    val row = e.agg(
+    val row = l.agg(
       count(lit(1)).as("n"),
-      coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")), lit(0)).as("h")
+      coalesce(sum(xxhash64(col("id"), col("lbl")).cast("decimal(38,0)")), lit(0)).as("h")
     ).head()
     (row.getLong(0), row.get(1).toString)
   }

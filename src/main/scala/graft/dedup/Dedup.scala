@@ -52,11 +52,38 @@ final case class DedupConfig(
       * accounted skew guard for degenerate boilerplate; exact-dup
       * collapse runs first, so only near-dup mega-templates hit it.
       */
-    maxBandBucket: Int = 0) {
+    maxBandBucket: Int = 0,
+    /** Candidate topology. "pairs" (default) emits every within-bucket
+      * pair — exact reference-cluster equality, but a dup-group that
+      * collides in all b bands amplifies its pair stream b-fold.
+      * "star" emits (bucketMin, member) edges only: connectivity-
+      * preserving for CLUSTERING, ~k/2 x fewer verified pairs and b x
+      * less pre-distinct shuffle — the 100 TB scale path. Star can
+      * split a cluster when verify(min, x) fails while verify(a, x)
+      * holds for another member; on near-dup groups (all sims >>
+      * threshold) the assignments are identical — asserted in
+      * WebDedupSpec.
+      */
+    candidateMode: String = "pairs") {
+  require(candidateMode == "pairs" || candidateMode == "star",
+    s"unknown candidateMode $candidateMode")
   require(numHashes == bands * rowsPerBand, "numHashes must equal bands*rowsPerBand")
 }
 
 object Dedup {
+
+  /** Scan-parallelism guard: a small local parquet (or any few-file
+    * source) coalesces into one or two input splits, serializing the
+    * whole narrow pipeline (normalize -> shingle -> MinHash) on a
+    * couple of cores. If the input has fewer partitions than the
+    * cluster's default parallelism, shuffle it out once, BEFORE the
+    * expensive per-row work. At real scale (thousands of input files)
+    * the guard is inactive — no gratuitous full-corpus shuffle.
+    */
+  def ensureParallel(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 
   // ------------------------------------------------------------ exact
 
@@ -67,7 +94,7 @@ object Dedup {
     */
   def exactClusters(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val h = xxhash64(col(textCol))
-    val withHash = df.withColumn("_h", h)
+    val withHash = ensureParallel(df.withColumn("_h", h))
     val reps = withHash.groupBy($"_h")
       .agg(min(col(idCol)).cast("long").as("cluster_id"),
         count(lit(1)).as("cluster_size"))
@@ -80,24 +107,33 @@ object Dedup {
     * (id, sig array<long>, simhash long, shingles array<long> hashes).
     * This is the checkpointable resume point (see io.Warehouse).
     */
-  def signatures(df: DataFrame, idCol: String, textCol: String,
+  def signatures(df0: DataFrame, idCol: String, textCol: String,
       cfg: DedupConfig = DedupConfig()): DataFrame = {
+    val df = ensureParallel(df0)
     val text = Normalizers.normalizeString(col(textCol))
-    val sh =
-      if (cfg.charShingles) char_shingles(text, cfg.shingleK)
-      else word_shingles(text, cfg.shingleK)
     // no isNotNull filter on sig: Catalyst would push it below the
     // projection and recompute the full MinHash per row (observed in
     // .explain); posexplode skips null arrays and verify drops null
     // sims, so empty docs fall out downstream for free
-    df.select(
-      col(idCol).cast("long").as("id"),
-      minhash_signature(sh, cfg.numHashes, cfg.seed).as("sig"),
-      simhash64(ws_tokens(text), cfg.seed).as("simhash"),
-      (if (cfg.exactVerify)
-        array_distinct(transform(sh, s => xxhash64(s)))
-      else lit(null).cast("array<long>")).as("shingle_hashes")
-    )
+    if (cfg.charShingles) {
+      val sh = char_shingles(text, cfg.shingleK)
+      df.select(
+        col(idCol).cast("long").as("id"),
+        minhash_signature(sh, cfg.numHashes, cfg.seed).as("sig"),
+        simhash64(ws_tokens(text), cfg.seed).as("simhash"),
+        (if (cfg.exactVerify) array_distinct(transform(sh, s => xxhash64(s)))
+        else lit(null).cast("array<long>")).as("shingle_hashes"))
+    } else {
+      // hot path: fused one-pass kernels (byte-identical to the
+      // word_shingles composition; shingles are contiguous byte ranges
+      // of the normalized text, so no per-shingle strings exist at all)
+      df.select(
+        col(idCol).cast("long").as("id"),
+        minhash_words(text, cfg.shingleK, cfg.numHashes, cfg.seed).as("sig"),
+        simhash_words(text, cfg.seed).as("simhash"),
+        (if (cfg.exactVerify) shingle_hashes(text, cfg.shingleK)
+        else lit(null).cast("array<long>")).as("shingle_hashes"))
+    }
   }
 
   // ------------------------------------------------------ minhash LSH
@@ -122,12 +158,22 @@ object Dedup {
         .where($"_hot".isNull).drop("_hot")
     }
 
-    val a = bands.select($"band", $"bh", $"id".as("id1"))
-    val b = bands.select($"band", $"bh", $"id".as("id2"))
-    a.join(b, Seq("band", "bh"))
-      .where($"id1" < $"id2")
-      .select($"id1", $"id2")
-      .distinct()
+    if (cfg.candidateMode == "star") {
+      // per-bucket star: one window shuffle on (band, bh), no join; a
+      // bucket of size m contributes m-1 edges instead of m(m-1)/2
+      val w = org.apache.spark.sql.expressions.Window.partitionBy($"band", $"bh")
+      bands.withColumn("mn", min($"id").over(w))
+        .where($"id" =!= $"mn")
+        .select($"mn".as("id1"), $"id".as("id2"))
+        .distinct()
+    } else {
+      val a = bands.select($"band", $"bh", $"id".as("id1"))
+      val b = bands.select($"band", $"bh", $"id".as("id2"))
+      a.join(b, Seq("band", "bh"))
+        .where($"id1" < $"id2")
+        .select($"id1", $"id2")
+        .distinct()
+    }
   }
 
   /** Bucket-size distribution per band — the skew/metrics surface. */
@@ -174,16 +220,23 @@ object Dedup {
     */
   def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
       cfg: DedupConfig = DedupConfig()): DataFrame = {
-    val norm = df.select(col(idCol).cast("long").as("id"),
-      Normalizers.normalizeString(col(textCol)).as("_t"))
+    val norm = ensureParallel(df.select(col(idCol).cast("long").as("id"),
+      Normalizers.normalizeString(col(textCol)).as("_t")))
+    // persisted: feeds both the exact-edge explode and the signature
+    // projection — without it the scan+normalize+groupBy runs twice
     val grouped = norm.groupBy($"_t").agg(min($"id").as("rep"), collect_list($"id").as("ids"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exactEdges = grouped
       .select($"rep", explode($"ids").as("member"))
       .where($"rep" =!= $"member")
       .select($"rep".as("u"), $"member".as("v"))
 
     val reps = grouped.select($"rep".as("id"), $"_t".as("text"))
+    // signatures feed three joins (candidates + both verify sides):
+    // persist so the MinHash projection runs once, exactly like the
+    // checkpointed signature table in the staged pipeline (WebDedup)
     val sigs = signatures(reps, "id", "text", cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nearEdges = verifyPairs(lshCandidates(sigs, cfg), sigs, cfg)
       .select($"id1".as("u"), $"id2".as("v"))
 
@@ -236,8 +289,8 @@ object Dedup {
     */
   def sharedSpanPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 24, window: Int = 8, minShared: Int = 2, minSpan: Int = 64): DataFrame = {
-    val norm = df.select(col(idCol).cast("long").as("id"),
-      Normalizers.normalizeString(col(textCol)).as("_t"))
+    val norm = ensureParallel(df.select(col(idCol).cast("long").as("id"),
+      Normalizers.normalizeString(col(textCol)).as("_t")))
     val fps = norm.select($"id", explode(winnow_fingerprint($"_t", k, window)).as("fp"))
     val cand = fps.as("a").join(fps.as("b"), Seq("fp"))
       .where($"a.id" < $"b.id")
@@ -259,8 +312,8 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val norm = df.select(col(idCol).cast("long").as("id"),
-      Normalizers.normalizeString(col(textCol)).as("_t"))
+    val norm = ensureParallel(df.select(col(idCol).cast("long").as("id"),
+      Normalizers.normalizeString(col(textCol)).as("_t")))
     val grams = norm.select($"id",
       explode(array_distinct(word_shingles($"_t", n))).as("g"))
     val sizes = grams.groupBy($"id").agg(count(lit(1)).as("n"))

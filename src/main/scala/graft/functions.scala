@@ -101,6 +101,23 @@ object functions {
   /** 64-bit SimHash over a token array. */
   def simhash64(tokens: Column, seed: Long): Column = col2(SimHash64(ex(tokens), seed))
 
+  // Fused one-pass kernels over pre-normalized (single-spaced) text —
+  // byte-identical to the compositions above, zero per-shingle
+  // allocation. These are what the dedup pipeline's hot path uses.
+
+  /** = minhash_signature(word_shingles(text, k), numHashes, seed). */
+  def minhash_words(text: Column, k: Int, numHashes: Int, seed: Long): Column =
+    col2(MinHashWords(ex(text), k, numHashes, seed))
+
+  /** = array_distinct(transform(word_shingles(text, k), xxhash64)) as a
+    * set (sorted).
+    */
+  def shingle_hashes(text: Column, k: Int, seed: Long = 42L): Column =
+    col2(ShingleHashes(ex(text), k, seed))
+
+  /** = simhash64(ws_tokens(text), seed). */
+  def simhash_words(text: Column, seed: Long): Column = col2(SimHashWords(ex(text), seed))
+
   /** Hamming distance between two 64-bit SimHashes (built-in bit_count). */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

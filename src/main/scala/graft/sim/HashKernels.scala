@@ -2,6 +2,7 @@ package graft.sim
 
 import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Deterministic hashing kernels for the near-duplicate pipeline:
@@ -73,6 +74,127 @@ object HashKernels {
         }
       }
       j += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  // ------------------------------------------------ fused text kernels
+  //
+  // The normalized text contract (lower, collapse \s+ to single space,
+  // trim) makes every word k-shingle a CONTIGUOUS BYTE RANGE of the
+  // text, so signatures can be computed in one pass over the bytes with
+  // zero per-shingle allocation. The hashes are byte-identical to
+  // hashing the array_join'ed shingle strings (XXH64 hashes bytes), so
+  // these fused kernels are drop-in equal to the Column-composition
+  // path (word_shingles -> minhash) — asserted in SimKernelsSpec.
+
+  /** Byte offsets of token boundaries in single-space-normalized text:
+    * returns starts[0..n] with starts(n) = len+1 sentinel, so token i
+    * spans [starts(i), starts(i+1)-1) and the k-shingle starting at i
+    * spans [starts(i), starts(i+k)-1). Space (0x20) is never part of a
+    * UTF-8 multibyte sequence, so a byte scan is safe.
+    */
+  private def tokenStarts(bytes: Array[Byte]): Array[Int] = {
+    val n = bytes.length
+    var count = if (n == 0) 0 else 1
+    var i = 0
+    while (i < n) { if (bytes(i) == ' ') count += 1; i += 1 }
+    val starts = new Array[Int](count + 1)
+    starts(0) = 0
+    var t = 1
+    i = 0
+    while (i < n) { if (bytes(i) == ' ') { starts(t) = i + 1; t += 1 }; i += 1 }
+    starts(count) = n + 1
+    starts
+  }
+
+  /** Fused MinHash over word k-shingles of normalized text. Equal to
+    * minhash(word_shingles(text, k), numHashes, seed). Null (no
+    * support) for empty text.
+    */
+  def minhashWords(text: UTF8String, k: Int, numHashes: Int, seed: Long): Array[Long] = {
+    val bytes = text.getBytes
+    if (bytes.length == 0) return null
+    val starts = tokenStarts(bytes)
+    val nTok = starts.length - 1
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val nShingles = if (nTok <= k) 1 else nTok - k + 1
+    val span = if (nTok <= k) nTok else k
+    var j = 0
+    while (j < nShingles) {
+      val from = starts(j)
+      val len = starts(j + span) - 1 - from
+      val h1 = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + from, len, seed)
+      val h2 = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + from, len, seed ^ SeedMix) | 1L
+      var i = 0
+      var acc = h1
+      while (i < numHashes) {
+        if (acc < sig(i)) sig(i) = acc
+        acc += h2 + 2L * i + 1L
+        i += 1
+      }
+      j += 1
+    }
+    sig
+  }
+
+  /** Fused distinct shingle hashes (sorted): equal AS A SET to
+    * array_distinct(transform(word_shingles(text,k), xxhash64)).
+    */
+  def shingleHashesWords(text: UTF8String, k: Int, seed: Long = 42L): Array[Long] = {
+    val bytes = text.getBytes
+    if (bytes.length == 0) return Array.empty[Long]
+    val starts = tokenStarts(bytes)
+    val nTok = starts.length - 1
+    val nShingles = if (nTok <= k) 1 else nTok - k + 1
+    val span = if (nTok <= k) nTok else k
+    val out = new Array[Long](nShingles)
+    var j = 0
+    while (j < nShingles) {
+      val from = starts(j)
+      val len = starts(j + span) - 1 - from
+      out(j) = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + from, len, seed)
+      j += 1
+    }
+    java.util.Arrays.sort(out)
+    // dedup in place
+    var w = 0
+    var r = 0
+    while (r < out.length) {
+      if (w == 0 || out(r) != out(w - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    if (w == out.length) out else java.util.Arrays.copyOf(out, w)
+  }
+
+  /** Fused SimHash over whitespace tokens of normalized text. Equal to
+    * simhash(ws_tokens(text), seed).
+    */
+  def simhashWords(text: UTF8String, seed: Long): Long = {
+    val bytes = text.getBytes
+    val counts = new Array[Int](64)
+    if (bytes.length > 0) {
+      val starts = tokenStarts(bytes)
+      val nTok = starts.length - 1
+      var j = 0
+      while (j < nTok) {
+        val from = starts(j)
+        val len = starts(j + 1) - 1 - from
+        val h = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + from, len, seed)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+        j += 1
+      }
     }
     var out = 0L
     var b = 0

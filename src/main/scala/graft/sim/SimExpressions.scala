@@ -98,6 +98,62 @@ case class SimHash64(child: Expression, seed: Long)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Fused one-pass MinHash over word k-shingles of (pre-normalized,
+  * single-spaced) text — byte-identical results to
+  * MinHashSignature(word_shingles(text, k)) with zero per-shingle
+  * allocation (shingles are contiguous byte ranges of the text).
+  */
+case class MinHashWords(child: Expression, k: Int, numHashes: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = HashKernels.minhashWords(v.asInstanceOf[UTF8String], k, numHashes, seed)
+    if (arr == null) null else UnsafeArrayData.fromPrimitiveArray(arr)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tmp = ctx.freshName("mhw")
+    nullSafeCodeGen(ctx, ev, a => s"""
+      long[] $tmp = graft.sim.HashKernels.minhashWords($a, $k, $numHashes, ${seed}L);
+      if ($tmp == null) { ${ev.isNull} = true; } else {
+        ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($tmp);
+      }""")
+  }
+  override def prettyName: String = "minhash_words"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Fused distinct word-shingle hashes (sorted array<long>). */
+case class ShingleHashes(child: Expression, k: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(
+      HashKernels.shingleHashesWords(v.asInstanceOf[UTF8String], k, seed))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"""
+      ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+        graft.sim.HashKernels.shingleHashesWords($a, $k, ${seed}L));""")
+  override def prettyName: String = "shingle_hashes"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Fused SimHash over whitespace tokens of (pre-normalized) text. */
+case class SimHashWords(child: Expression, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    HashKernels.simhashWords(v.asInstanceOf[UTF8String], seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.sim.HashKernels.simhashWords($a, ${seed}L);")
+  override def prettyName: String = "simhash_words"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Winnowing fingerprint: array<long> of selected k-gram hashes. */
 case class WinnowFingerprint(child: Expression, k: Int, window: Int)
     extends UnaryExpression {

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.config.JobConfig
+
+/** Config parsing mirrors the reference's validator semantics
+  * (/root/reference/src/config_validator.py:176-314 and
+  * tests/test_integration.py:25-32).
+  */
+class JobConfigSpec extends AnyFunSuite {
+
+  test("matching config parses with defaults") {
+    val cfg = JobConfig.parse(
+      """{"source1": "a.csv", "source2": "b.csv", "output": "out.csv",
+        | "match_config": {"columns": [
+        |   {"source1": "name", "source2": "full_name", "weight": 0.3}],
+        |  "threshold": 0.8}}""".stripMargin)
+    assert(cfg.mode == "matching")
+    assert(cfg.source1.get.path.contains("a.csv"))
+    assert(cfg.matchConfig.threshold == 0.8)
+    assert(cfg.matchConfig.undecidedRange == 0.05)
+    assert(cfg.matchConfig.columns.head.source2.contains("full_name"))
+  }
+
+  test("mode dependency errors match the reference text") {
+    val e1 = intercept[IllegalArgumentException] {
+      JobConfig.parse("""{"mode": "clustering", "source1": "a.csv", "source2": "b.csv", "output": "o"}""")
+    }
+    assert(e1.getMessage.contains("clustering mode does not require source2"))
+    val e2 = intercept[IllegalArgumentException] {
+      JobConfig.parse("""{"mode": "search", "source2": "m.csv", "source1": "q.csv", "output": "o"}""")
+    }
+    assert(e2.getMessage.contains("search mode does not require source1"))
+    val e3 = intercept[IllegalArgumentException] {
+      JobConfig.parse("""{"source1": "a.csv", "output": "o"}""")
+    }
+    assert(e3.getMessage.contains("matching mode requires source2"))
+  }
+
+  test("env interpolation with defaults (config_validator.py:282-314)") {
+    val cfg = JobConfig.parse(
+      """{"source1": "${GRAFT_TEST_SRC:fallback.csv}", "source2": "b.csv", "output": "${GRAFT_TEST_OUT:o.csv}"}""",
+      env = Map.empty)
+    assert(cfg.source1.get.path.contains("fallback.csv"))
+    val e = intercept[IllegalArgumentException] {
+      JobConfig.parse("""{"source1": "${GRAFT_MISSING_VAR}", "source2": "b", "output": "o"}""",
+        env = Map.empty)
+    }
+    assert(e.getMessage.contains("Environment variable 'GRAFT_MISSING_VAR' not found"))
+  }
+
+  test("jdbc table specs") {
+    val cfg = JobConfig.parse(
+      """{"source1": {"table": "people", "host": "h", "user": "u", "password": "p", "database": "d"},
+        | "source2": "b.csv", "output": "o.csv"}""".stripMargin)
+    assert(cfg.source1.get.isJdbc)
+    assert(cfg.source1.get.table.contains("people"))
+  }
+
+  test("threshold bounds enforced") {
+    val e = intercept[IllegalArgumentException] {
+      JobConfig.parse(
+        """{"source1": "a", "source2": "b", "output": "o",
+          | "match_config": {"threshold": 1.5}}""".stripMargin)
+    }
+    assert(e.getMessage.contains("threshold"))
+  }
+}

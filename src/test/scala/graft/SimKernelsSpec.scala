@@ -174,3 +174,56 @@ class SimKernelsSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(h1 ^ h3) > 20)
   }
 }
+
+/** Fused one-pass text kernels must be byte-identical to the Column
+  * compositions they replace (the dedup hot path depends on it).
+  */
+class FusedKernelsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private val spark = SparkTestBase.spark
+  import org.apache.spark.sql.functions._
+  import graft.functions._
+  import graft.norm.Normalizers
+
+  private def docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    .select(col("doc_id"), Normalizers.normalizeString(col("text")).as("t"))
+
+  test("minhash_words == minhash_signature(word_shingles)") {
+    val k = 5; val n = 128; val seed = 42L
+    val diff = docs.select(
+      minhash_words(col("t"), k, n, seed).as("a"),
+      minhash_signature(word_shingles(col("t"), k), n, seed).as("b"))
+      .where(not(col("a") <=> col("b"))).count()
+    assert(diff == 0)
+  }
+
+  test("simhash_words == simhash64(ws_tokens)") {
+    val diff = docs.select(
+      simhash_words(col("t"), 42L).as("a"),
+      simhash64(ws_tokens(col("t")), 42L).as("b"))
+      .where(not(col("a") <=> col("b"))).count()
+    assert(diff == 0)
+  }
+
+  test("shingle_hashes == distinct xxhash64 of word_shingles (as set)") {
+    val diff = docs.select(
+      shingle_hashes(col("t"), 5).as("a"),
+      array_sort(array_distinct(transform(word_shingles(col("t"), 5), s => xxhash64(s)))).as("b"))
+      .where(not(col("a") <=> col("b"))).count()
+    assert(diff == 0)
+  }
+
+  test("fused kernels: empty and short texts") {
+    import spark.implicits._
+    val df = Seq("", "one", "a b c").toDF("t")
+    val rows = df.select(
+      minhash_words(col("t"), 5, 8, 42L).as("m"),
+      minhash_signature(word_shingles(col("t"), 5), 8, 42L).as("m2"),
+      simhash_words(col("t"), 42L).as("s"),
+      simhash64(ws_tokens(col("t")), 42L).as("s2")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+      assert(r.getLong(2) == r.getLong(3))
+    }
+  }
+}

@@ -85,6 +85,16 @@ class WebDedupSpec extends AnyFunSuite {
     assert(ours == ref, "cluster assignments must match the reference partition")
   }
 
+  test("star candidate topology gives identical clusters on near-dup groups") {
+    val full = Dedup.nearDupClusters(pages, "page_id", "text", cfg)
+      .select(col("page_id"), col("cluster_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val star = Dedup.nearDupClusters(pages, "page_id", "text", cfg.copy(candidateMode = "star"))
+      .select(col("page_id"), col("cluster_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val fullParts = full.groupBy(_._2).values.map(_.keys.toSet).toSet
+    val starParts = star.groupBy(_._2).values.map(_.keys.toSet).toSet
+    assert(fullParts == starParts, "star topology must not split near-dup clusters")
+  }
+
   test("resume: second run rebuilds nothing and returns identical clusters") {
     val root = java.nio.file.Files.createTempDirectory("wh").toString
     val wh1 = new Warehouse(root, spark)
