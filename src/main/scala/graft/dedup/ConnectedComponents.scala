@@ -42,8 +42,10 @@ object ConnectedComponents {
     val canon = edges
       .select(col(cols(0)).cast("long").as("u"), col(cols(1)).cast("long").as("v"))
       .where($"u" =!= $"v")
+    // no distinct: verified pair tables are already unique, and
+    // duplicate edges only produce duplicate messages that the min
+    // aggregation absorbs — a full dedup shuffle here is pure latency
     val adj = canon.union(canon.select($"v".as("u"), $"u".as("v")))
-      .distinct()
       .localCheckpoint(false)
 
     // label(x) = min(x, min neighbor) — every non-isolated node appears

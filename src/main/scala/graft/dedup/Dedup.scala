@@ -159,12 +159,15 @@ object Dedup {
     }
 
     if (cfg.candidateMode == "star") {
-      // per-bucket star: one window shuffle on (band, bh), no join; a
-      // bucket of size m contributes m-1 edges instead of m(m-1)/2
-      val w = org.apache.spark.sql.expressions.Window.partitionBy($"band", $"bh")
-      bands.withColumn("mn", min($"id").over(w))
-        .where($"id" =!= $"mn")
-        .select($"mn".as("id1"), $"id".as("id2"))
+      // per-bucket star: a bucket of size m contributes m-1 edges
+      // instead of m(m-1)/2. Shaped as partial-agg groupBy + equi-join
+      // rather than a window: the map-side min collapses hot buckets
+      // before the shuffle and AQE can skew-split the join, while a
+      // window would pin a mega-bucket onto one task.
+      val mins = bands.groupBy($"band", $"bh").agg(min($"id").as("id1"))
+      bands.join(mins, Seq("band", "bh"))
+        .where($"id" =!= $"id1")
+        .select($"id1", $"id".as("id2"))
         .distinct()
     } else {
       val a = bands.select($"band", $"bh", $"id".as("id1"))

@@ -21,7 +21,18 @@ final case class MatchOptions(
     blockingStrategies: Seq[String] = Seq("first_char", "three_gram", "last_three"),
     returnAllMatches: Boolean = false,
     /** small enough source1 -> broadcast it instead of shuffle join */
-    broadcastProbe: Boolean = false)
+    broadcastProbe: Boolean = false,
+    /** drop blocking keys whose source2 block exceeds this (0 = off) —
+      * the reference's max_block_size / skip_high_cardinality
+      * (matcher.py:643-649), as an explicit recall-losing skew guard
+      */
+    maxBlockSize: Int = 0,
+    /** cap candidates per source1 row (0 = off) — the reference's
+      * max_candidates (matcher.py:785-792). Deterministic: lowest id2
+      * first (the reference truncates in array order; documented
+      * divergence, SURVEY §2.5)
+      */
+    maxCandidates: Int = 0)
 
 /** Two-source fuzzy matching: blocking-key candidate join -> per-column
   * similarity -> weighted mean -> best-match window / return-all ->
@@ -114,11 +125,24 @@ object Matching {
       df.select(col(id), explode(allKeys).as("_bk"))
     }
     val left = keyed(s1, id1, 1)
-    val right0 = keyed(s2, id2, 2)
+    val right1 = keyed(s2, id2, 2)
+    val right0 =
+      if (opts.maxBlockSize > 0) {
+        // skew guard: drop keys with oversized source2 blocks (reference
+        // max_block_size); broadcast the hot-key list — it is tiny
+        val hot = right1.groupBy($"_bk").count()
+          .where($"count" > opts.maxBlockSize).select($"_bk")
+        right1.join(broadcast(hot), Seq("_bk"), "left_anti")
+      } else right1
     val right = if (opts.broadcastProbe) broadcast(right0) else right0
-    left.join(right, "_bk")
+    val pairs = left.join(right, "_bk")
       .select(col(id1), col(id2))
       .dropDuplicates(id1, id2)
+    if (opts.maxCandidates > 0) {
+      val w = Window.partitionBy(col(id1)).orderBy(col(id2).asc)
+      pairs.withColumn("_cn", row_number().over(w))
+        .where($"_cn" <= opts.maxCandidates).drop("_cn")
+    } else pairs
   }
 
   /** Score candidate pairs: join both sides back, project per-column

@@ -26,28 +26,49 @@ object HashKernels {
   @inline def hashString(s: UTF8String, seed: Long): Long =
     XXH64.hashUTF8String(s, seed)
 
-  /** MinHash signature over a shingle array using the
-    * Kirsch-Mitzenmacher construction: two independent base hashes
-    * h1, h2 per shingle; slot i minimizes h1 + i*h2 + i*i.
-    * Returns null for empty input (a document with no shingles has no
+  /** Per-slot multiply-shift permutation family: slot i maps a 64-bit
+    * base hash x to a(i)*x + b(i) (wrapping); a(i) odd makes each map a
+    * bijection on Z/2^64, and independently-drawn (a, b) make the
+    * slots independent — unlike the h1 + i*h2 (Kirsch-Mitzenmacher)
+    * shortcut, whose slots are linearly correlated and blow up the
+    * estimator variance (caught by PropertySpec's 5-sigma bound).
+    * Parameters derive deterministically from the seed.
+    */
+  private final class SlotPerms(numHashes: Int, seed: Long) {
+    val a = new Array[Long](numHashes)
+    val b = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      a(i) = mix64(seed + i * SeedMix) | 1L
+      b(i) = mix64(seed ^ (i * 0xc2b2ae3d27d4eb4fL + 0x165667b19e3779f9L))
+      i += 1
+    }
+  }
+
+  private val permCache = new java.util.concurrent.ConcurrentHashMap[(Int, Long), SlotPerms]()
+
+  private def perms(numHashes: Int, seed: Long): SlotPerms =
+    permCache.computeIfAbsent((numHashes, seed), _ => new SlotPerms(numHashes, seed))
+
+  /** MinHash signature over a shingle array: per-shingle XXH64 base
+    * hash, per-slot multiply-shift permutation, min per slot. Returns
+    * null for empty input (a document with no shingles has no
     * similarity support).
     */
   def minhash(shingles: ArrayData, numHashes: Int, seed: Long): Array[Long] = {
     val n = shingles.numElements()
     if (n == 0) return null
+    val p = perms(numHashes, seed)
     val sig = new Array[Long](numHashes)
     java.util.Arrays.fill(sig, Long.MaxValue)
     var j = 0
     while (j < n) {
       if (!shingles.isNullAt(j)) {
-        val s = shingles.getUTF8String(j)
-        val h1 = XXH64.hashUTF8String(s, seed)
-        val h2 = XXH64.hashUTF8String(s, seed ^ SeedMix) | 1L
+        val x = XXH64.hashUTF8String(shingles.getUTF8String(j), seed)
         var i = 0
-        var acc = h1
         while (i < numHashes) {
-          if (acc < sig(i)) sig(i) = acc
-          acc += h2 + 2L * i + 1L // h1 + i*h2 + i*i incrementally
+          val v = p.a(i) * x + p.b(i)
+          if (v < sig(i)) sig(i) = v
           i += 1
         }
       }
@@ -121,6 +142,7 @@ object HashKernels {
   def minhashWords(text: UTF8String, k: Int, numHashes: Int, seed: Long): Array[Long] = {
     val bytes = text.getBytes
     if (bytes.length == 0) return null
+    val p = perms(numHashes, seed)
     val starts = tokenStarts(bytes)
     val nTok = starts.length - 1
     val sig = new Array[Long](numHashes)
@@ -131,13 +153,11 @@ object HashKernels {
     while (j < nShingles) {
       val from = starts(j)
       val len = starts(j + span) - 1 - from
-      val h1 = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + from, len, seed)
-      val h2 = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + from, len, seed ^ SeedMix) | 1L
+      val x = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + from, len, seed)
       var i = 0
-      var acc = h1
       while (i < numHashes) {
-        if (acc < sig(i)) sig(i) = acc
-        acc += h2 + 2L * i + 1L
+        val v = p.a(i) * x + p.b(i)
+        if (v < sig(i)) sig(i) = v
         i += 1
       }
       j += 1
