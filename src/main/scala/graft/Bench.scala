@@ -122,7 +122,7 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val groups = sys.env.getOrElse("SPARK_GRAFT_BENCH_GROUPS", "32").toInt
+    val groups = sys.env.getOrElse("SPARK_GRAFT_BENCH_GROUPS", "16").toInt
     val reps = 8
     val corpusPath = "/tmp/graft_bench_corpus"
 
@@ -140,16 +140,19 @@ object Bench {
       Dedup.nearDupClusters(
         s.read.parquet(corpusPath).limit((nDocs / 2).toInt), "doc_id", "text", benchCfg).count()
 
-    // ---- scaling: identical job, two parallelism levels (N vs 4N)
-    spark = session(CoresLo)
-    warm(spark)
-    val tLo = time(dedupJob(spark, corpusPath))
-    spark.stop()
-
-    spark = session(CoresHi)
-    warm(spark)
-    val tHi = time(dedupJob(spark, corpusPath))
-    spark.stop()
+    // ---- scaling: identical job, two parallelism levels (N vs 4N).
+    // min of two timed runs per level: first executions run 20-40% hot
+    // (JIT tiers, cache warm-in) and the host adds multiplicative noise;
+    // min is the standard noise-robust statistic.
+    def timedMin2(cores: Int): Double = {
+      val s = session(cores)
+      warm(s)
+      val t = math.min(time(dedupJob(s, corpusPath)), time(dedupJob(s, corpusPath)))
+      s.stop()
+      t
+    }
+    val tLo = timedMin2(CoresLo)
+    val tHi = timedMin2(CoresHi)
 
     val thrLo = nDocs / tLo
     val thrHi = nDocs / tHi

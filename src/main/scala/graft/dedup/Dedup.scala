@@ -147,15 +147,23 @@ object Dedup {
       xxhash64(slice($"sig", b * r + 1, r), lit(b))): _*)
     var bands = sigs.select($"id", posexplode(bandArr).as(Seq("band", "bh")))
 
-    if (cfg.maxBandBucket > 0) {
-      // recall-accounted skew guard: drop oversized buckets (logged by
-      // the caller via bandBucketStats), unlike the reference's silent
-      // skip_high_cardinality (matcher.py:643-649)
+    var hotEdges: Option[DataFrame] = None
+    if (cfg.maxBandBucket > 0 && cfg.candidateMode != "star") {
+      // skew guard for pair mode: oversized buckets degrade to star
+      // edges (connectivity-preserving — the cluster result keeps every
+      // member reachable) instead of the reference's silent drop
+      // (skip_high_cardinality, matcher.py:643-649). Cold buckets keep
+      // exact pair semantics.
       val hot = bands.groupBy($"band", $"bh").count()
         .where($"count" > cfg.maxBandBucket)
         .select($"band", $"bh", lit(true).as("_hot"))
-      bands = bands.join(broadcast(hot), Seq("band", "bh"), "left")
-        .where($"_hot".isNull).drop("_hot")
+      val marked = bands.join(broadcast(hot), Seq("band", "bh"), "left")
+      val hotRows = marked.where($"_hot".isNotNull).drop("_hot")
+      val hotMins = hotRows.groupBy($"band", $"bh").agg(min($"id").as("id1"))
+      hotEdges = Some(hotRows.join(hotMins, Seq("band", "bh"))
+        .where($"id" =!= $"id1")
+        .select($"id1", $"id".as("id2")))
+      bands = marked.where($"_hot".isNull).drop("_hot")
     }
 
     if (cfg.candidateMode == "star") {
@@ -172,10 +180,10 @@ object Dedup {
     } else {
       val a = bands.select($"band", $"bh", $"id".as("id1"))
       val b = bands.select($"band", $"bh", $"id".as("id2"))
-      a.join(b, Seq("band", "bh"))
+      val pairs = a.join(b, Seq("band", "bh"))
         .where($"id1" < $"id2")
         .select($"id1", $"id2")
-        .distinct()
+      hotEdges.map(pairs.unionAll(_)).getOrElse(pairs).distinct()
     }
   }
 

@@ -95,6 +95,24 @@ class WebDedupSpec extends AnyFunSuite {
     assert(fullParts == starParts, "star topology must not split near-dup clusters")
   }
 
+  test("hot-template skew: bucket cap degrades to star edges, cluster stays complete") {
+    // boilerplate fixture (FIXTURES.md): one hot template shared by 200
+    // pages + unrelated singletons; cap buckets far below the template
+    // group size — every template page must still land in ONE cluster
+    import spark.implicits._
+    val template = (1 to 30).map(i => s"tpl$i").mkString(" ")
+    val hot = (0L until 200L).map(i => (i, s"$template page$i"))
+    val singles = (1000L until 1100L).map(i => (i, (0 to 25).map(j => s"u${i}w$j").mkString(" ")))
+    val df = (hot ++ singles).toDF("doc_id", "text")
+    val out = Dedup.nearDupClusters(df, "doc_id", "text",
+      cfg.copy(maxBandBucket = 20, threshold = 0.7))
+      .select(col("doc_id"), col("cluster_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val templateClusters = (0L until 200L).map(out).toSet
+    assert(templateClusters.size == 1, s"template pages split into ${templateClusters.size} clusters")
+    assert((1000L until 1100L).forall(i => out(i) == i), "singletons must stay singleton")
+  }
+
   test("resume: second run rebuilds nothing and returns identical clusters") {
     val root = java.nio.file.Files.createTempDirectory("wh").toString
     val wh1 = new Warehouse(root, spark)
