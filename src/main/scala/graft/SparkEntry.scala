@@ -342,6 +342,44 @@ object SparkEntry {
           unix_timestamp(min($"ts")).as("first_ts"))
     },
 
+    "cluster_dense_ids" -> { (s, dir) =>
+      // reference-compat dense renumbering of cluster ids (SURVEY §2.4;
+      // clusterer.py:778-784) — dense_rank over the min-member key
+      val d = t(s, dir, "documents")
+      val expanded = d.select($"doc_id", $"text")
+        .unionAll(d.where($"doc_id" % 2 === 0)
+          .select(($"doc_id" + 100000).as("doc_id"), $"text"))
+        .withColumn("_t", Normalizers.normalizeString($"text"))
+      val clusters = Dedup.exactClusters(expanded, "doc_id", "_t")
+      val w = org.apache.spark.sql.expressions.Window.orderBy($"cluster_id".asc)
+      clusters.select($"doc_id".cast("long").as("doc_id"),
+        (dense_rank().over(w) - 1).cast("long").as("dense_id"))
+    },
+
+    "cluster_summary_report" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val expanded = d.select($"doc_id", $"text")
+        .unionAll(d.where($"doc_id" % 2 === 0)
+          .select(($"doc_id" + 100000).as("doc_id"), $"text"))
+        .withColumn("_t", Normalizers.normalizeString($"text"))
+      graft.io.Sources.clusterSummary(Dedup.exactClusters(expanded, "doc_id", "_t"))
+    },
+
+    "match_auto" -> { (s, dir) =>
+      // auto-analyzed mapping: same-named columns pair up; types detect
+      // as string_name (JW) and numeric (ratio) — column_analyzer.py path
+      val c = t(s, dir, "customer")
+      val s1 = c.select($"c_custkey".cast("long").as("k1"), $"c_name", $"c_acctbal")
+      val s2 = c.select($"c_custkey".cast("long").as("k2"),
+        concat(substring($"c_name", 1, 2), substring($"c_name", 4, 100)).as("c_name"),
+        ($"c_acctbal" * 2).as("c_acctbal"))
+      val mapping = graft.analyze.ColumnAnalyzer.analyzeColumns(
+        s1.drop("k1"), s2.drop("k2"))
+      Matching.matchTables(s1, s2, "k1", "k2", mapping,
+          MatchOptions(threshold = 0.9, undecidedRange = 0.02))
+        .select($"k1", $"k2", round($"overall_score", 6).as("overall_score"), $"match_result")
+    },
+
     // ----------------------------------- rows-only checks (no SQL oracle)
 
     "dedup_simhash_pairs_r3" -> { (s, dir) =>
@@ -563,6 +601,46 @@ object SparkEntry {
       """SELECT o_orderkey, c_name, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "cluster_dense_ids" ->
+      """WITH x AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents
+        |  UNION ALL SELECT doc_id+100000, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') FROM documents WHERE doc_id%2=0
+        |),
+        |c AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY t) AS cid FROM x)
+        |SELECT doc_id, CAST(dense_rank() OVER (ORDER BY cid) - 1 AS BIGINT) AS dense_id FROM c""".stripMargin,
+
+    "cluster_summary_report" ->
+      """WITH x AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents
+        |  UNION ALL SELECT doc_id+100000, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') FROM documents WHERE doc_id%2=0
+        |),
+        |c AS (SELECT min(doc_id) AS cluster_id, count(*) AS cluster_size FROM x GROUP BY t),
+        |tot AS (
+        |  SELECT 'totals' AS section, 'clusters' AS key, CAST(count(*) AS VARCHAR) AS value FROM c
+        |  UNION ALL SELECT 'totals', 'rows', CAST(sum(cluster_size) AS VARCHAR) FROM c
+        |  UNION ALL SELECT 'totals', 'singletons', CAST(count(*) FILTER (cluster_size = 1) AS VARCHAR) FROM c
+        |  UNION ALL SELECT 'totals', 'multi', CAST(count(*) FILTER (cluster_size > 1) AS VARCHAR) FROM c),
+        |hist AS (SELECT 'hist' AS section, CAST(cluster_size AS VARCHAR) AS key,
+        |         CAST(count(*) AS VARCHAR) AS value FROM c GROUP BY cluster_size),
+        |top AS (SELECT 'top10' AS section, CAST(cluster_id AS VARCHAR) AS key,
+        |        CAST(cluster_size AS VARCHAR) AS value
+        |        FROM c ORDER BY cluster_size DESC, cluster_id LIMIT 10)
+        |SELECT * FROM tot UNION ALL SELECT * FROM hist UNION ALL SELECT * FROM top""".stripMargin,
+
+    "match_auto" ->
+      """WITH s1 AS (SELECT c_custkey AS k1, lower(c_name) AS n1, c_acctbal AS b1 FROM customer),
+        |s2 AS (SELECT c_custkey AS k2, lower(substr(c_name,1,2) || substr(c_name,4)) AS n2,
+        |       c_acctbal*2 AS b2 FROM customer),
+        |sc AS (SELECT k1, k2, jaro_winkler_similarity(n1, n2) AS sj,
+        |  CASE WHEN b1 = b2 THEN 1.0 ELSE 1.0 - abs(b1-b2)/greatest(abs(b1), abs(b2), 1.0) END AS sn
+        |  FROM s1, s2),
+        |ov AS (SELECT k1, k2, (sj*1.0 + sn*1.0)/(1.0+1.0) AS o FROM sc),
+        |best AS (SELECT *, row_number() OVER (PARTITION BY k1 ORDER BY o DESC, k2) AS rn FROM ov)
+        |SELECT k1, k2, round(o, 6) AS overall_score,
+        |       CASE WHEN o >= 0.9+0.02 THEN 'accept' WHEN o <= 0.9-0.02 THEN 'reject'
+        |            ELSE 'undecided' END AS match_result
+        |FROM best WHERE rn = 1""".stripMargin,
 
     "q_events_stats" ->
       """SELECT user_id, event_type, count(*) AS n,
