@@ -382,6 +382,23 @@ object SparkEntry {
 
     // ----------------------------------- rows-only checks (no SQL oracle)
 
+    "ann_lsh_recall" -> { (s, dir) =>
+      // recall@10 of the LSH index vs the exact baseline — the quality
+      // metric an ANN index ships with (depends on the LSH seed: rows-
+      // only check; the value lands in benchmark/metrics surfaces)
+      val e = t(s, dir, "embeddings")
+      val q = e.where($"vec_id" % 10 === 0)
+      val bf = Embeddings.bruteForceTopK(e, q, "vec_id", "embedding", 10)
+        .select($"query_id", $"neighbor_id")
+      val lsh = Embeddings.lshTopK(e, q, "vec_id", "embedding", 10)
+        .select($"query_id".as("q2"), $"neighbor_id".as("n2"))
+      val hits = bf.join(lsh, $"query_id" === $"q2" && $"neighbor_id" === $"n2", "left_semi")
+      bf.agg(count(lit(1)).as("exact_pairs"))
+        .crossJoin(hits.agg(count(lit(1)).as("found_pairs")))
+        .select(lit(10).as("k"), $"exact_pairs", $"found_pairs",
+          round($"found_pairs".cast("double") / $"exact_pairs", 4).as("recall_at_k"))
+    },
+
     "dedup_simhash_pairs_r3" -> { (s, dir) =>
       val d = t(s, dir, "documents")
       val expanded = d.select($"doc_id", $"text")

@@ -73,14 +73,17 @@ object WebDedup {
       ConnectedComponents.run(exactEdges.union(nearEdges))
     }
 
-    // -- stage 6: assign + sizes (final output table)
-    val clusters = wh.getOrCreate("clusters", fp, parent = Some("assignments")) {
+    // -- stage 6: assign + sizes (final output table), laid out in
+    // cluster_id hash buckets so per-cluster consumers prune partitions
+    val clusters = wh.getOrCreate("clusters", fp, parent = Some("assignments"),
+        partitionBy = Seq("bucket")) {
       val withCluster = extracted.select($"page_id", $"url")
         .join(assignments.withColumnRenamed("id", "page_id"), Seq("page_id"), "left")
         .withColumn("cluster_id", coalesce($"cluster_id", $"page_id"))
       val sizes = withCluster.groupBy($"cluster_id").agg(count(lit(1)).as("cluster_size"))
       withCluster.join(sizes, "cluster_id")
-        .select($"page_id", $"url", $"cluster_id", $"cluster_size")
+        .select($"page_id", $"url", $"cluster_id", $"cluster_size",
+          pmod(xxhash64($"cluster_id"), lit(16)).as("bucket"))
     }
 
     // per-stage metrics (counts & skew surface) — written once per build

@@ -81,9 +81,16 @@ object Embeddings {
     * Scale shape: explode(bands) -> shuffle on (band, value) ->
     * within-bucket join -> window. Hot buckets are bounded by the band
     * width; AQE skew-join covers the residual.
+    *
+    * Recall/compute dial: narrower bands (fewer bits) and more of them
+    * raise recall AND candidate volume. Defaults (18 bits / 6 bands)
+    * measure recall@10 = 0.75 on the driver's low-contrast random
+    * embeddings (top neighbors at cosine ~0.4 — the hard case; see the
+    * `ann_lsh_recall` query); high-contrast real embedding spaces get
+    * much higher recall at the same setting.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, bits: Int = 16, bands: Int = 4, dim: Int = 64, seed: Long = 42L): DataFrame = {
+      k: Int, bits: Int = 18, bands: Int = 6, dim: Int = 64, seed: Long = 42L): DataFrame = {
     require(bits % bands == 0, "bits must divide into bands")
     val planes = hyperplanes(dim, bits, seed)
     val width = bits / bands

@@ -40,14 +40,16 @@ final class Warehouse(val root: String, spark: SparkSession) {
     * matches, else (re)build, commit, and read back (reading back means
     * downstream stages never recompute this lineage).
     */
-  def getOrCreate(name: String, fingerprint: String, parent: Option[String] = None)
-      (build: => DataFrame): DataFrame = {
+  def getOrCreate(name: String, fingerprint: String, parent: Option[String] = None,
+      partitionBy: Seq[String] = Nil)(build: => DataFrame): DataFrame = {
     if (!committed(name, fingerprint)) {
       buildCount += 1
       val d = dir(name)
       if (Files.exists(d)) deleteRecursively(d)
       val dataDir = d.resolve("data").toString
-      build.write.mode("overwrite").parquet(dataDir)
+      val writer = build.write.mode("overwrite")
+      (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+        .parquet(dataDir)
       commitManifest(name, fingerprint, parent)
     }
     read(name)
@@ -55,9 +57,11 @@ final class Warehouse(val root: String, spark: SparkSession) {
 
   private def commitManifest(name: String, fingerprint: String, parent: Option[String]): Unit = {
     val dataDir = dir(name).resolve("data")
-    val files = Files.list(dataDir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .map(p => (p.getFileName.toString, Files.size(p)))
+    // recursive walk: partitioned tables nest files under key=value dirs;
+    // lineage records the partition-relative path of every data file
+    val files = Files.walk(dataDir).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .map(p => (dataDir.relativize(p).toString, Files.size(p)))
       .toSeq.sortBy(_._1)
     val rows = read(name).count()
     val schema = read(name).schema.json
