@@ -45,11 +45,13 @@ object SparkEntry {
   // shared oracle-SQL fragments (DuckDB dialect)
   // ------------------------------------------------------------------
 
-  /** Normalized token arrays per doc: the reference normalization chain
-    * lower -> trim -> collapse whitespace (normalizers.py:172-182).
+  /** Normalized token arrays per doc, mirroring the engine's
+    * collapse-then-trim order (Normalizers.normalizeString): DuckDB's
+    * trim strips only spaces, so collapsing '\s+' first makes edge
+    * tabs/newlines normalize identically on both sides.
     */
   private val toksCte =
-    """t AS (SELECT doc_id AS id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ts FROM documents)"""
+    """t AS (SELECT doc_id AS id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts FROM documents)"""
 
   /** Distinct word k-shingle jaccard pair machinery (k inlined). */
   private def jaccardCtes(k: Int): String = {
@@ -306,13 +308,18 @@ object SparkEntry {
     // ------------------------------------------- relational compat (TPC-H)
 
     "q_lineitem_agg" -> { (s, dir) =>
+      // rounding-proof money contract: cast the raw DOUBLE to
+      // decimal(18,2) FIRST (both engines round the ~1e-13 binary
+      // representation error identically at 2 decimals), then scale by
+      // 100 exactly in decimal — no round() over a double product,
+      // whose half-even/half-up drift diverged between engines in r1
       t(s, dir, "lineitem")
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
           sum($"l_quantity".cast("long")).as("sum_qty"),
           count(lit(1)).as("n_rows"),
-          sum(round($"l_extendedprice" * 100, 0).cast("long")).as("price_cents"),
-          sum(round($"l_discount" * 100, 0).cast("long")).as("disc_pct_sum"))
+          sum(($"l_extendedprice".cast("decimal(18,2)") * 100).cast("long")).as("price_cents"),
+          sum(($"l_discount".cast("decimal(18,2)") * 100).cast("long")).as("disc_pct_sum"))
     },
 
     "q_orders_best" -> { (s, dir) =>
@@ -351,9 +358,11 @@ object SparkEntry {
           .select(($"doc_id" + 100000).as("doc_id"), $"text"))
         .withColumn("_t", Normalizers.normalizeString($"text"))
       val clusters = Dedup.exactClusters(expanded, "doc_id", "_t")
-      val w = org.apache.spark.sql.expressions.Window.orderBy($"cluster_id".asc)
-      clusters.select($"doc_id".cast("long").as("doc_id"),
-        (dense_rank().over(w) - 1).cast("long").as("dense_id"))
+      // scale-safe dense renumber: range-partitioned numbering over the
+      // distinct cluster-id table — no global un-partitioned window
+      val mapping = graft.dedup.ConnectedComponents.denseIds(clusters.select($"cluster_id"))
+      clusters.join(mapping, "cluster_id")
+        .select($"doc_id".cast("long").as("doc_id"), $"dense_id".cast("long").as("dense_id"))
     },
 
     "cluster_summary_report" -> { (s, dir) =>
@@ -433,9 +442,9 @@ object SparkEntry {
 
   private val exactExpansion =
     """x AS (
-      |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents
-      |  UNION ALL SELECT doc_id+100000, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') FROM documents WHERE doc_id%2=0
-      |  UNION ALL SELECT doc_id+200000, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') FROM documents WHERE doc_id%6=0
+      |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents
+      |  UNION ALL SELECT doc_id+100000, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) FROM documents WHERE doc_id%2=0
+      |  UNION ALL SELECT doc_id+200000, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) FROM documents WHERE doc_id%6=0
       |)""".stripMargin
 
   private val matchScores =
@@ -489,7 +498,7 @@ object SparkEntry {
 
     "dedup_shared_span" ->
       s"""WITH $dupIdsCtes,
-         |base AS (SELECT doc_id, length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS nl
+         |base AS (SELECT doc_id, length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS nl
          |         FROM documents WHERE doc_id NOT IN (SELECT id FROM dup))
          |SELECT doc_id AS id1, doc_id+100000 AS id2 FROM base WHERE doc_id%7=0 AND nl >= 160""".stripMargin,
 
@@ -604,8 +613,8 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
         |  sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
         |  count(*) AS n_rows,
-        |  sum(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS price_cents,
-        |  sum(CAST(round(l_discount*100, 0) AS BIGINT)) AS disc_pct_sum
+        |  sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))*100 AS BIGINT)) AS price_cents,
+        |  sum(CAST(CAST(l_discount AS DECIMAL(18,2))*100 AS BIGINT)) AS disc_pct_sum
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
 
     "q_orders_best" ->
@@ -621,16 +630,16 @@ object SparkEntry {
 
     "cluster_dense_ids" ->
       """WITH x AS (
-        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents
-        |  UNION ALL SELECT doc_id+100000, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') FROM documents WHERE doc_id%2=0
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents
+        |  UNION ALL SELECT doc_id+100000, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) FROM documents WHERE doc_id%2=0
         |),
         |c AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY t) AS cid FROM x)
         |SELECT doc_id, CAST(dense_rank() OVER (ORDER BY cid) - 1 AS BIGINT) AS dense_id FROM c""".stripMargin,
 
     "cluster_summary_report" ->
       """WITH x AS (
-        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents
-        |  UNION ALL SELECT doc_id+100000, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') FROM documents WHERE doc_id%2=0
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents
+        |  UNION ALL SELECT doc_id+100000, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) FROM documents WHERE doc_id%2=0
         |),
         |c AS (SELECT min(doc_id) AS cluster_id, count(*) AS cluster_size FROM x GROUP BY t),
         |tot AS (

@@ -84,14 +84,28 @@ object ConnectedComponents {
 
       val sig = checksum(jumped)
       viaEdges.unpersist(blocking = false)
+      // the checksum materialized `jumped`'s checkpoint, so the
+      // previous round's label blocks are dead — free them, or up to
+      // maxRounds generations of RDD blocks pile up in the block manager
+      freeCheckpoint(labels)
       converged = sig == prevSig
       prevSig = sig
       labels = jumped
       round += 1
     }
 
+    freeCheckpoint(adj)
     labels.select($"id", $"lbl".as("cluster_id"))
   }
+
+  /** Unpersist the RDD behind a localCheckpoint'ed DataFrame (its
+    * analyzed plan is a LogicalRDD over the checkpointed blocks).
+    */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => // not a checkpointed frame — nothing to free
+    }
 
   private def checksum(l: DataFrame): (Long, String) = {
     // decimal(38) sum: ANSI mode (Spark 4 default) would overflow a
@@ -101,6 +115,39 @@ object ConnectedComponents {
       coalesce(sum(xxhash64(col("id"), col("lbl")).cast("decimal(38,0)")), lit(0)).as("h")
     ).head()
     (row.getLong(0), row.get(1).toString)
+  }
+
+  /** Dense 0-based renumbering of a key column (reference-compat dense
+    * cluster ids, clusterer.py:778-784) WITHOUT a global un-partitioned
+    * window: range-partition the distinct keys (total order across
+    * partitions), number rows per partition with a PARTITIONED window,
+    * and add per-partition start offsets computed from the tiny
+    * partition-count table (<= shuffle-partition rows, collected to the
+    * driver like any plan statistic). Equivalent to
+    * `dense_rank() over (order by key) - 1` at any scale.
+    *
+    * @return (key, dense_id) mapping — join it back to the full table
+    */
+  def denseIds(keys: DataFrame): DataFrame = {
+    val keyCol = keys.columns.head
+    val ranged = keys.select(col(keyCol)).distinct()
+      .repartitionByRange(col(keyCol))
+      .withColumn("_p", spark_partition_id())
+      // persisted: pins the sampled range boundaries so the offset job
+      // and the final numbering see identical partitions
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = ranged.groupBy($"_p").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      counts.map { case (p, n) => val o = acc; acc += n; p -> o }.toMap
+    }
+    val offMap = typedLit(offsets)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"_p").orderBy(col(keyCol).asc)
+    ranged.select(col(keyCol),
+      (row_number().over(w) - 1 + coalesce(try_element_at(offMap, $"_p"), lit(0L)))
+        .as("dense_id"))
   }
 
   /** Attach cluster_id (min member id; nodes absent from any edge map to

@@ -231,16 +231,29 @@ object Dedup {
     */
   def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
       cfg: DedupConfig = DedupConfig()): DataFrame = {
+    // exact collapse in the hash-rep join shape (same as exactClusters):
+    // group on a 128-bit content hash — never on the raw text (the full
+    // corpus would ride the shuffle as key bytes) and never into
+    // collect_list arrays (a hot boilerplate group with millions of
+    // members would OOM one executor as a single array row). Members
+    // rejoin their representative by hash; a mega-group skews exactly
+    // one join key, which AQE skew-split handles (the rep side is one
+    // row per key).
     val norm = ensureParallel(df.select(col(idCol).cast("long").as("id"),
-      Normalizers.normalizeString(col(textCol)).as("_t")))
-    // persisted: feeds both the exact-edge explode and the signature
-    // projection — without it the scan+normalize+groupBy runs twice
-    val grouped = norm.groupBy($"_t").agg(min($"id").as("rep"), collect_list($"id").as("ids"))
+        Normalizers.normalizeString(col(textCol)).as("_t")))
+      .withColumn("_h1", xxhash64($"_t"))
+      .withColumn("_h2", xxhash64($"_t", lit(1))) // 2nd seed: 128-bit key, no collision pairs at 1e12 docs
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val exactEdges = grouped
-      .select($"rep", explode($"ids").as("member"))
-      .where($"rep" =!= $"member")
-      .select($"rep".as("u"), $"member".as("v"))
+    // one row per distinct text; map-side partial agg collapses hot
+    // groups before the shuffle. first(_t) is well-defined: all texts
+    // in a hash group are identical.
+    val grouped = norm.groupBy($"_h1", $"_h2")
+      .agg(min($"id").as("rep"), first($"_t").as("_t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exactEdges = norm
+      .join(grouped.select($"_h1", $"_h2", $"rep"), Seq("_h1", "_h2"))
+      .where($"id" =!= $"rep")
+      .select($"rep".as("u"), $"id".as("v"))
 
     val reps = grouped.select($"rep".as("id"), $"_t".as("text"))
     // signatures feed three joins (candidates + both verify sides):

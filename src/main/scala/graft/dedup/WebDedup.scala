@@ -26,14 +26,35 @@ object WebDedup {
     s"k${cfg.shingleK}_c${cfg.charShingles}_h${cfg.numHashes}_b${cfg.bands}" +
       s"_r${cfg.rowsPerBand}_s${cfg.seed}_t${cfg.threshold}_e${cfg.exactVerify}_m${cfg.maxBandBucket}"
 
+  /** Content snapshot of the input table (row count + order-invariant
+    * xxhash checksum over all columns): folded into the stage
+    * fingerprint so resuming against the same warehouse root with
+    * CHANGED input invalidates every checkpoint instead of silently
+    * returning clusters for the old corpus. One extra scan per run —
+    * the price of a sound resume. Callers that already track input
+    * identity (a real Iceberg snapshot id) pass it via `inputId` and
+    * skip the scan.
+    */
+  def inputSnapshot(pages: DataFrame): String = {
+    val h = xxhash64(pages.columns.map(col): _*)
+    val row = pages.agg(
+      count(lit(1)),
+      // decimal(38) sum: ANSI mode would overflow a long sum of hashes
+      coalesce(sum(h.cast("decimal(38,0)")), lit(0))).head()
+    val digest = scala.util.hashing.MurmurHash3.stringHash(
+      row.getLong(0) + "_" + row.get(1)) & 0xffffffffL
+    java.lang.Long.toHexString(digest)
+  }
+
   /** Run (or resume) the full pipeline. `pages` must carry
     * (page_id, url, html|text, ...); when `html` is present, text is
     * re-extracted per the byte-identical contract.
     *
     * @return cluster table: page_id, url, cluster_id, cluster_size
     */
-  def run(pages: DataFrame, wh: Warehouse, cfg: DedupConfig = DedupConfig()): DataFrame = {
-    val fp = fingerprint(cfg)
+  def run(pages: DataFrame, wh: Warehouse, cfg: DedupConfig = DedupConfig(),
+      inputId: Option[String] = None): DataFrame = {
+    val fp = fingerprint(cfg) + "_in" + inputId.getOrElse(inputSnapshot(pages))
 
     // -- stage 1: extraction (typed transform contract)
     val extracted = wh.getOrCreate("extracted", fp) {
@@ -46,16 +67,28 @@ object WebDedup {
 
     // -- stage 2: exact-dup collapse (identical text -> representative).
     // Kills quadratic LSH buckets for boilerplate before banding.
-    val groups = wh.getOrCreate("exact_groups", fp, parent = Some("extracted")) {
-      extracted.groupBy($"text")
-        .agg(min($"page_id").as("rep"), collect_list($"page_id").as("members"))
-        .select($"rep", $"members", $"text")
+    // Hash-rep join shape: group on a 128-bit content hash (never the
+    // raw text — that ships the whole corpus as shuffle-key bytes) and
+    // store the flat (page_id, rep) map (never collect_list — a hot
+    // boilerplate group would be one giant array row). A mega-group
+    // skews one join key; the rep side is a single row per key, which
+    // AQE skew-split handles.
+    val exactMap = wh.getOrCreate("exact_map", fp, parent = Some("extracted")) {
+      val hashed = extracted.select($"page_id",
+        xxhash64($"text").as("_h1"), xxhash64($"text", lit(1)).as("_h2"))
+      val reps = hashed.groupBy($"_h1", $"_h2").agg(min($"page_id").as("rep"))
+      hashed.join(reps, Seq("_h1", "_h2")).select($"page_id", $"rep")
     }
 
     // -- stage 3: signatures on representatives (the resume point the
-    // north rule names explicitly)
-    val sigs = wh.getOrCreate("signatures", fp, parent = Some("exact_groups")) {
-      Dedup.signatures(groups.select($"rep".as("id"), $"text"), "id", "text", cfg)
+    // north rule names explicitly); reps pull their text back from the
+    // committed extracted table by id (cheap equi-join, no text shuffle
+    // through the collapse)
+    val sigs = wh.getOrCreate("signatures", fp, parent = Some("exact_map")) {
+      val repRows = exactMap.where($"page_id" === $"rep").select($"page_id")
+        .join(extracted, Seq("page_id"))
+        .select($"page_id".as("id"), $"text")
+      Dedup.signatures(repRows, "id", "text", cfg)
     }
 
     // -- stage 4: candidate pairs + verify (LSH banding)
@@ -65,10 +98,8 @@ object WebDedup {
 
     // -- stage 5: connected components over near edges + exact edges
     val assignments = wh.getOrCreate("assignments", fp, parent = Some("pairs")) {
-      val exactEdges = groups
-        .select($"rep", explode($"members").as("m"))
-        .where($"rep" =!= $"m")
-        .select($"rep".as("u"), $"m".as("v"))
+      val exactEdges = exactMap.where($"page_id" =!= $"rep")
+        .select($"rep".as("u"), $"page_id".as("v"))
       val nearEdges = pairs.select($"id1".as("u"), $"id2".as("v"))
       ConnectedComponents.run(exactEdges.union(nearEdges))
     }

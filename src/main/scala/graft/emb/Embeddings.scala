@@ -74,41 +74,74 @@ object Embeddings {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** LSH-bucketed ANN: band the signature into `bands` chunks (multi-
-    * probe via bands, not permutations); candidates = rows sharing any
-    * band value; verify with exact cosine; top-k per query.
+  /** Vector-length guard: a vector whose size differs from the plane
+    * dimension would zip_with-pad with nulls, null every dot product,
+    * and silently drop every row into bucket 0 — LSH would degrade to
+    * a cross join. Fail loudly instead.
+    */
+  private def dimChecked(vec: Column, dim: Int): Column =
+    when(size(vec) === dim, vec).otherwise(raise_error(
+      concat(lit(s"embedding dimension mismatch: expected $dim, got "),
+        size(vec).cast("string"))))
+
+  /** Per-row (band, bucket) entries for the banded RHP signature —
+    * ids only: the vector payload must NOT ride the explode (it would
+    * multiply through the candidate shuffle by the band count; verify
+    * joins vectors back by id instead). With `probeFlips` > 0 the
+    * PROBE side also emits every bucket within that Hamming distance
+    * of each band value (multi-probe: recall of extra hash tables at
+    * zero extra index size — Lv et al., VLDB'07).
+    */
+  private def bandEntries(df: DataFrame, idCol: String, outId: String, vecCol: String,
+      planes: Array[Array[Double]], bands: Int, width: Int, dim: Int,
+      probeFlips: Int = 0): DataFrame = {
+    val mask = (1L << width) - 1
+    val sig = rhpSignature(dimChecked(col(vecCol), dim), planes)
+    val entries: Seq[Column] = (0 until bands).flatMap { b =>
+      val base = shiftright(sig, b * width).bitwiseAND(lit(mask))
+      val variants: Seq[Column] = base +: (if (probeFlips >= 1)
+        (0 until width).map(i => base.bitwiseXOR(lit(1L << i))) else Nil)
+      variants.map(v => struct(lit(b).as("band"), v.as("bv")))
+    }
+    df.select(col(idCol).cast("long").as(outId), explode(array(entries: _*)).as("e"))
+      .select(col(outId), $"e.band".as("band"), $"e.bv".as("bv"))
+  }
+
+  /** LSH-bucketed ANN: band the signature into `bands` chunks;
+    * candidates = rows sharing any band value (query side multi-probes
+    * Hamming-1 neighbors of each band bucket); verify with exact
+    * cosine; top-k per query.
     *
-    * Scale shape: explode(bands) -> shuffle on (band, value) ->
-    * within-bucket join -> window. Hot buckets are bounded by the band
-    * width; AQE skew-join covers the residual.
+    * Scale shape: explode ids+bucket only -> shuffle on (band, value)
+    * -> within-bucket id join -> join vectors back -> window. Hot
+    * buckets are bounded by the band width; AQE skew-join covers the
+    * residual. Multi-probe multiplies only the (small) query side's
+    * entries by (1 + width), not the corpus index.
     *
-    * Recall/compute dial: narrower bands (fewer bits) and more of them
-    * raise recall AND candidate volume. Defaults (18 bits / 6 bands)
-    * measure recall@10 = 0.75 on the driver's low-contrast random
-    * embeddings (top neighbors at cosine ~0.4 — the hard case; see the
-    * `ann_lsh_recall` query); high-contrast real embedding spaces get
-    * much higher recall at the same setting.
+    * Recall/compute dial: narrower bands and more of them raise recall
+    * AND candidate volume; `probeFlips` raises recall with no index
+    * growth. Defaults measure recall@10 >= 0.9 on the driver's
+    * low-contrast random embeddings (top neighbors at cosine ~0.4 —
+    * the hard case; see `ann_lsh_recall`); real embedding spaces with
+    * contrast get higher recall at the same setting.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, bits: Int = 18, bands: Int = 6, dim: Int = 64, seed: Long = 42L): DataFrame = {
+      k: Int, bits: Int = 18, bands: Int = 6, dim: Int = 64, seed: Long = 42L,
+      probeFlips: Int = 1): DataFrame = {
     require(bits % bands == 0, "bits must divide into bands")
     val planes = hyperplanes(dim, bits, seed)
     val width = bits / bands
-    val mask = (1L << width) - 1
-    def banded(df: DataFrame, id: String): DataFrame = {
-      val sig = rhpSignature(col(vecCol), planes)
-      val bandArr = array((0 until bands).map(b =>
-        shiftright(sig, b * width).bitwiseAND(lit(mask))): _*)
-      df.select(col(idCol).cast("long").as(id), col(vecCol).as(s"_v_$id"),
-        posexplode(bandArr).as(Seq("band", "bv")))
-    }
-    val c = banded(corpus, "neighbor_id")
-    val q = banded(queries, "query_id")
-    val cand = c.join(q, Seq("band", "bv"))
+    val cBands = bandEntries(corpus, idCol, "neighbor_id", vecCol, planes, bands, width, dim)
+    val qBands = bandEntries(queries, idCol, "query_id", vecCol, planes, bands, width, dim,
+      probeFlips)
+    val cand = cBands.join(qBands, Seq("band", "bv"))
       .where($"query_id" =!= $"neighbor_id")
-      .select($"query_id", $"neighbor_id", $"_v_query_id".as("_qv"), $"_v_neighbor_id".as("_cv"))
+      .select($"query_id", $"neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")
-    val scored = cand.select($"query_id", $"neighbor_id", cosine($"_qv", $"_cv").as("sim"))
+    val qVec = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("_qv"))
+    val cVec = corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("_cv"))
+    val scored = cand.join(qVec, "query_id").join(cVec, "neighbor_id")
+      .select($"query_id", $"neighbor_id", cosine($"_qv", $"_cv").as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id".asc)
     scored.withColumn("rank", row_number().over(w)).where($"rank" <= k)
@@ -116,22 +149,22 @@ object Embeddings {
 
   /** Embedding near-dup pairs: all (id1 < id2) with cosine >= threshold,
     * via LSH buckets (identical/near-identical vectors share all bands).
+    * Candidates carry ids only; vectors join back at verify.
     */
   def cosineDupPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double,
       bits: Int = 16, bands: Int = 4, dim: Int = 64, seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(dim, bits, seed)
     val width = bits / bands
-    val mask = (1L << width) - 1
-    val sig = rhpSignature(col(vecCol), planes)
-    val bandArr = array((0 until bands).map(b =>
-      shiftright(sig, b * width).bitwiseAND(lit(mask))): _*)
-    val banded = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("_v"),
-      posexplode(bandArr).as(Seq("band", "bv")))
-    val a = banded.select($"band", $"bv", $"id".as("id1"), $"_v".as("_v1"))
-    val b = banded.select($"band", $"bv", $"id".as("id2"), $"_v".as("_v2"))
-    a.join(b, Seq("band", "bv"))
+    val banded = bandEntries(df, idCol, "id", vecCol, planes, bands, width, dim)
+    val a = banded.select($"band", $"bv", $"id".as("id1"))
+    val b = banded.select($"band", $"bv", $"id".as("id2"))
+    val cand = a.join(b, Seq("band", "bv"))
       .where($"id1" < $"id2")
       .dropDuplicates("id1", "id2")
+    val vecs = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("_v"))
+    cand
+      .join(vecs.select($"id".as("id1"), $"_v".as("_v1")), "id1")
+      .join(vecs.select($"id".as("id2"), $"_v".as("_v2")), "id2")
       .select($"id1", $"id2", cosine($"_v1", $"_v2").as("sim"))
       .where($"sim" >= threshold)
   }

@@ -28,10 +28,30 @@ final class Warehouse(val root: String, spark: SparkSession) {
     */
   @volatile var buildCount: Int = 0
 
-  def committed(name: String, fingerprint: String): Boolean =
+  private val snapRe = """"snapshot": "([0-9a-f]+)"""".r
+  private val parentSnapRe = """"parent_snapshot": (?:"([0-9a-f]+)"|null)""".r
+
+  /** Committed snapshot id of a table, if any. */
+  def snapshotOf(name: String): Option[String] =
+    if (!Files.exists(manifestPath(name))) None
+    else snapRe.findFirstMatchIn(Files.readString(manifestPath(name))).map(_.group(1))
+
+  /** A stage is resumable only if its fingerprint matches AND the
+    * parent snapshot it was built from is still the parent's current
+    * snapshot — a rebuilt upstream stage (new input, new config)
+    * invalidates every downstream checkpoint even when this stage's
+    * own fingerprint is unchanged.
+    */
+  def committed(name: String, fingerprint: String, parent: Option[String] = None): Boolean =
     Files.exists(manifestPath(name)) && {
       val m = Files.readString(manifestPath(name))
-      m.contains("\"fingerprint\": \"" + fingerprint + "\"")
+      m.contains("\"fingerprint\": \"" + fingerprint + "\"") && {
+        val recordedParent = parentSnapRe.findFirstMatchIn(m).flatMap(g => Option(g.group(1)))
+        parent match {
+          case None => true
+          case Some(p) => snapshotOf(p).exists(cur => recordedParent.contains(cur))
+        }
+      }
     }
 
   def read(name: String): DataFrame = spark.read.parquet(dir(name).resolve("data").toString)
@@ -42,7 +62,7 @@ final class Warehouse(val root: String, spark: SparkSession) {
     */
   def getOrCreate(name: String, fingerprint: String, parent: Option[String] = None,
       partitionBy: Seq[String] = Nil)(build: => DataFrame): DataFrame = {
-    if (!committed(name, fingerprint)) {
+    if (!committed(name, fingerprint, parent)) {
       buildCount += 1
       val d = dir(name)
       if (Files.exists(d)) deleteRecursively(d)
@@ -78,6 +98,7 @@ final class Warehouse(val root: String, spark: SparkSession) {
          |  "table": ${q(name)},
          |  "snapshot": ${q(snapshotId)},
          |  "parent": ${parent.map(q).getOrElse("null")},
+         |  "parent_snapshot": ${parent.flatMap(snapshotOf).map(q).getOrElse("null")},
          |  "fingerprint": ${q(fingerprint)},
          |  "rows": $rows,
          |  "files": $fileJson,

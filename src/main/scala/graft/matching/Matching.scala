@@ -13,7 +13,8 @@ import graft.norm.Normalizers
 final case class MatchColumn(col1: String, col2: String, colType: String, weight: Double)
 
 /** Matching-mode options (reference config schema,
-  * /root/reference/src/config_validator.py:14-173).
+  * /root/reference/src/config_validator.py:14-173; defaults
+  * matcher.py:382-400).
   */
 final case class MatchOptions(
     threshold: Double = 0.75,
@@ -22,17 +23,46 @@ final case class MatchOptions(
     returnAllMatches: Boolean = false,
     /** small enough source1 -> broadcast it instead of shuffle join */
     broadcastProbe: Boolean = false,
-    /** drop blocking keys whose source2 block exceeds this (0 = off) —
-      * the reference's max_block_size / skip_high_cardinality
-      * (matcher.py:643-649), as an explicit recall-losing skew guard
+    /** drop/trim blocking keys whose source2 block exceeds this (0 =
+      * off) — the reference's max_block_size (matcher.py:643-649)
       */
     maxBlockSize: Int = 0,
-    /** cap candidates per source1 row (0 = off) — the reference's
-      * max_candidates (matcher.py:785-792). Deterministic: lowest id2
-      * first (the reference truncates in array order; documented
-      * divergence, SURVEY §2.5)
+    /** with maxBlockSize: true (reference default) skips oversized keys
+      * entirely; false trims each block to its lowest maxBlockSize ids
+      * (deterministic variant of the reference's insertion-order trim)
       */
-    maxCandidates: Int = 0)
+    skipHighCardinality: Boolean = true,
+    /** cap candidates per source1 row (0 = off) — the reference's
+      * max_candidates (matcher.py:785-792)
+      */
+    maxCandidates: Int = 0,
+    /** how to enforce maxCandidates: "truncate" keeps the lowest-id
+      * candidates (deterministic variant of the reference's array-order
+      * cut); "fallback" first tries only the highest-priority key
+      * group's candidates (3gram > last3 > word1 > wordN > 2gram >
+      * first — matcher.py:794-855) and truncates only if even that
+      * group overflows
+      */
+    candidateTrimStrategy: String = "truncate",
+    /** probe rows whose blocking keys match nothing fall back to
+      * scanning ALL of source2 when it has at most this many rows
+      * (reference matcher.py:739-743); 0 disables. Costs one count()
+      * of source2 per job when enabled.
+      */
+    cartesianFallbackLimit: Int = 10000,
+    /** best-match mode: rows with an identical-normalized-value
+      * candidate take it directly (lowest id2) and skip candidate
+      * scoring — the Spark form of the reference's perfect-match
+      * cutoff (matcher.py:1243-1261, early_termination default true).
+      * The reference breaks at the FIRST candidate scoring >= 0.99 in
+      * arbitrary index order; this variant is deterministic and only
+      * short-circuits exact score-1.0 ties, so rows without an
+      * identical twin still get their true best match.
+      */
+    earlyTermination: Boolean = true) {
+  require(candidateTrimStrategy == "truncate" || candidateTrimStrategy == "fallback",
+    s"unknown candidateTrimStrategy $candidateTrimStrategy")
+}
 
 /** Two-source fuzzy matching: blocking-key candidate join -> per-column
   * similarity -> weighted mean -> best-match window / return-all ->
@@ -41,9 +71,11 @@ final case class MatchOptions(
   * :1200-1296, best-match :1270-1274, classification :1478-1488).
   *
   * Scale shape: both sides explode their blocking keys and meet in one
-  * shuffle hash join on the key; dropDuplicates collapses multi-key
-  * hits; scoring is a post-join projection (whole-stage codegen);
-  * best-match is one window. No driver materialization anywhere.
+  * shuffle hash join on the key; candidate pairs are id-only until the
+  * scoring projection joins values back; scoring is whole-stage
+  * codegen; best-match is one window. No driver materialization
+  * anywhere except the (bounded) source2 row count that gates the
+  * reference's cartesian fallback.
   */
 object Matching {
 
@@ -83,66 +115,141 @@ object Matching {
 
   // ----------------------------------------------------------- blocking
 
-  /** Reference-compat blocking keys over a normalized value
-    * (matcher.py:683-721): first-char class, leading 2/3-gram, last
-    * 3-gram, first/last word prefixes. Empty/"nan" values produce no
-    * keys (validity filter, matcher.py:623-626).
+  /** Candidate-trim priority of a key group (matcher.py:794-800);
+    * fallback/default keys rank below every ladder group.
     */
-  def blockingKeys(c: Column, strategies: Seq[String]): Column = {
+  private val GroupPriority: Map[String, Int] =
+    Map("3gram" -> 0, "last3" -> 1, "word1" -> 2, "wordN" -> 3, "2gram" -> 4, "first" -> 5)
+
+  /** Reference-compat blocking keys over a normalized value
+    * (matcher.py:686-721): first-char class, leading 2/3-gram, last
+    * 3-gram, first/last word prefixes — each with the reference's
+    * length guards, tagged `tag:group:value` so keys from different
+    * column pairs never collide (the reference prefixes keys with the
+    * source2 column name). A non-empty value whose strategies all fail
+    * their guards gets the `fallback:` first-char key (matcher.py:
+    * 719-721); empty/"nan" values produce no keys (validity filter,
+    * matcher.py:623-626).
+    */
+  def blockingKeys(c: Column, strategies: Seq[String], tag: String = ""): Column = {
     val v = Normalizers.normalizeString(c)
+    val pre = if (tag.isEmpty) "" else tag + ":"
+    def key(grp: String, value: Column): Column = concat(lit(s"$pre$grp:"), value)
     val keys: Seq[Column] = strategies.flatMap {
       case "first_char" =>
-        // non-alphanumeric first char -> '#' class (matcher.py:688-692)
-        Seq(concat(lit("first:"),
+        // non-alphanumeric first char -> '#' class (matcher.py:694-697)
+        Seq(key("first",
           when(substring(v, 1, 1).rlike("[a-z0-9]"), substring(v, 1, 1)).otherwise(lit("#"))))
-      case "two_gram" => Seq(concat(lit("2gram:"), substring(v, 1, 2)))
-      case "three_gram" => Seq(concat(lit("3gram:"), substring(v, 1, 3)))
-      case "last_three" => Seq(concat(lit("last3:"), substring(v, -3, 3)))
+      case "two_gram" =>
+        Seq(when(length(v) >= 2, key("2gram", substring(v, 1, 2))))
+      case "three_gram" =>
+        Seq(when(length(v) >= 3, key("3gram", substring(v, 1, 3))))
+      case "last_three" =>
+        Seq(when(length(v) >= 3, key("last3", substring(v, -3, 3))))
       case "word_prefix" =>
+        // first word's 2- AND 3-prefix (matcher.py:707-712).
         // try_element_at: ANSI mode (Spark 4 default) errors on
         // out-of-range element_at
+        val w1 = try_element_at(graft.functions.ws_tokens(v), lit(1))
+        Seq(when(length(w1) >= 2, key("word1", substring(w1, 1, 2))),
+          when(length(w1) >= 3, key("word1", substring(w1, 1, 3))))
+      case "word_suffix" =>
         val words = graft.functions.ws_tokens(v)
-        Seq(concat(lit("word1:"), substring(try_element_at(words, lit(1)), 1, 3)),
-          concat(lit("wordN:"), substring(try_element_at(words, lit(-1)), 1, 2)))
+        val wN = try_element_at(words, lit(-1))
+        Seq(when(size(words) > 1 && length(wN) >= 2, key("wordN", substring(wN, 1, 2))))
       case other => throw new IllegalArgumentException(s"unknown blocking strategy: $other")
     }
-    val arr = array(keys: _*)
+    // guards emit null for failed strategies; fallback when none survive
+    val arr = filter(array(keys: _*), k => k.isNotNull)
+    val withFallback = when(size(arr) === 0, array(key("fallback", substring(v, 1, 1))))
+      .otherwise(arr)
     when(length(v) === 0 || v === "nan", array().cast("array<string>"))
-      .otherwise(array_distinct(arr))
+      .otherwise(array_distinct(withFallback))
   }
 
   /** Candidate pairs via exploded blocking keys from every mapped
     * column: one shuffle equi-join on the key, dedup on id pair. The
     * distributed form of the reference's blocking index + probe union
-    * (matcher.py:607-650, 750-792).
+    * (matcher.py:607-650, 750-792), including its max_block_size skew
+    * guard, max_candidates cap (with the `fallback` priority ladder),
+    * and zero-key cartesian fallback.
     */
   def candidates(s1: DataFrame, s2: DataFrame, id1: String, id2: String,
       mapping: Seq[MatchColumn], opts: MatchOptions): DataFrame = {
     def keyed(df: DataFrame, id: String, side: Int): DataFrame = {
-      val cols = mapping.map(m => if (side == 1) m.col1 else m.col2).distinct
-      val allKeys = array_distinct(flatten(array(cols.map(c =>
-        blockingKeys(col(c), opts.blockingStrategies)): _*)))
+      // one key set per mapping, tagged by the source2 column name
+      // (reference tags every key with col2, matcher.py:683-692)
+      val perMapping = mapping.map { m =>
+        val c = if (side == 1) m.col1 else m.col2
+        blockingKeys(col(c), opts.blockingStrategies, m.col2)
+      }
+      val allKeys = array_distinct(flatten(array(perMapping: _*)))
       df.select(col(id), explode(allKeys).as("_bk"))
     }
     val left = keyed(s1, id1, 1)
     val right1 = keyed(s2, id2, 2)
     val right0 =
       if (opts.maxBlockSize > 0) {
-        // skew guard: drop keys with oversized source2 blocks (reference
-        // max_block_size); broadcast the hot-key list — it is tiny
-        val hot = right1.groupBy($"_bk").count()
-          .where($"count" > opts.maxBlockSize).select($"_bk")
-        right1.join(broadcast(hot), Seq("_bk"), "left_anti")
+        // skew guard: the hot-key list is tiny — broadcast it
+        val hotKeys = broadcast(right1.groupBy($"_bk").count()
+          .where($"count" > opts.maxBlockSize).select($"_bk"))
+        if (opts.skipHighCardinality)
+          right1.join(hotKeys, Seq("_bk"), "left_anti")
+        else {
+          val w = Window.partitionBy($"_bk").orderBy(col(id2).asc)
+          val trimmed = right1.join(hotKeys, Seq("_bk"), "left_semi")
+            .withColumn("_rn", row_number().over(w))
+            .where($"_rn" <= opts.maxBlockSize).drop("_rn")
+          right1.join(hotKeys, Seq("_bk"), "left_anti").unionByName(trimmed)
+        }
       } else right1
     val right = if (opts.broadcastProbe) broadcast(right0) else right0
-    val pairs = left.join(right, "_bk")
-      .select(col(id1), col(id2))
-      .dropDuplicates(id1, id2)
-    if (opts.maxCandidates > 0) {
-      val w = Window.partitionBy(col(id1)).orderBy(col(id2).asc)
-      pairs.withColumn("_cn", row_number().over(w))
-        .where($"_cn" <= opts.maxCandidates).drop("_cn")
-    } else pairs
+
+    // group priority rides the join for the trim ladder; min over the
+    // pair's keys = the best group that produced the pair
+    // keys are `tag:grp:value`; the grp segment is always index 2
+    // (values may contain ':' themselves, so never index from the end)
+    val joined = left.join(right, "_bk")
+      .select(col(id1), col(id2),
+        coalesce(try_element_at(typedLit(GroupPriority),
+          element_at(split($"_bk", ":"), 2)), lit(6)).as("_p"))
+    val pairs = joined.groupBy(col(id1), col(id2)).agg(min($"_p").as("_p"))
+
+    val capped =
+      if (opts.maxCandidates > 0) {
+        val wAll = Window.partitionBy(col(id1))
+        val wOrd = Window.partitionBy(col(id1)).orderBy(col(id2).asc)
+        val x = pairs
+          .withColumn("_total", count(lit(1)).over(wAll))
+          .withColumn("_pmin", min($"_p").over(wAll))
+        val x2 = x.withColumn("_bestn",
+          sum(when($"_p" === $"_pmin", 1L).otherwise(0L)).over(wAll))
+          .withColumn("_rn", row_number().over(wOrd))
+        // under the cap: keep all. Over it with the fallback ladder: the
+        // reference keeps exactly the highest-priority group present if
+        // it fits (matcher.py:836-855 — supersets at lower cutoffs can
+        // only be larger, so the first non-empty cutoff decides); a
+        // fallback-only row (_pmin > 5) never qualifies. Otherwise:
+        // deterministic lowest-id truncation.
+        val useLadder = opts.candidateTrimStrategy == "fallback"
+        x2.where(
+          ($"_total" <= opts.maxCandidates) ||
+          (lit(useLadder) && $"_pmin" <= 5 && $"_bestn" <= opts.maxCandidates &&
+            $"_p" === $"_pmin") ||
+          (!(lit(useLadder) && $"_pmin" <= 5 && $"_bestn" <= opts.maxCandidates) &&
+            $"_rn" <= opts.maxCandidates))
+          .select(col(id1), col(id2))
+      } else pairs.select(col(id1), col(id2))
+
+    // zero-key cartesian fallback (matcher.py:739-743): probe rows with
+    // no surviving candidates scan all of source2 when it is small.
+    // Deliberately sized OUT at scale (one bounded count() decides).
+    if (opts.cartesianFallbackLimit > 0 &&
+        s2.count() <= opts.cartesianFallbackLimit) {
+      val unmatched = s1.select(col(id1))
+        .join(pairs.select(col(id1)), Seq(id1), "left_anti")
+      capped.unionByName(unmatched.crossJoin(s2.select(col(id2))))
+    } else capped
   }
 
   /** Score candidate pairs: join both sides back, project per-column
@@ -169,6 +276,29 @@ object Matching {
         overallScore(scoreCols.map { case (n, _, w) => (col(n), w) }))
   }
 
+  /** Best-match perfect shortcut: pairs whose EVERY mapped column
+    * normalizes to the same non-empty lowercase value. Joined on a
+    * 128-bit hash of the tuple so long values never ride the shuffle
+    * as key bytes (same shape as exact dedup).
+    */
+  private def perfectPairs(s1: DataFrame, s2: DataFrame, id1: String, id2: String,
+      mapping: Seq[MatchColumn]): DataFrame = {
+    def keyed(df: DataFrame, id: String, side: Int): DataFrame = {
+      val vals = mapping.zipWithIndex.map { case (m, i) =>
+        val c = if (side == 1) m.col1 else m.col2
+        lower(Normalizers.byType(col(c), m.colType).cast("string")).as(s"_k_$i")
+      }
+      val nonEmpty = mapping.indices.map(i => length(col(s"_k_$i")) > 0).reduce(_ && _)
+      df.select(col(id) +: vals: _*)
+        .where(nonEmpty)
+        .select(col(id),
+          xxhash64(mapping.indices.map(i => col(s"_k_$i")): _*).as("_h1"),
+          xxhash64(mapping.indices.map(i => col(s"_k_$i")) :+ lit(1): _*).as("_h2"))
+    }
+    keyed(s1, id1, 1).join(keyed(s2, id2, 2), Seq("_h1", "_h2"))
+      .groupBy(col(id1)).agg(min(col(id2)).as(id2))
+  }
+
   /** Full matching-mode run. Output per the reference contract
     * (matcher.py:1450-1476): id pair, per-column scores, overall_score,
     * match_result. Best-match keeps the top candidate per source1 row
@@ -177,22 +307,44 @@ object Matching {
     */
   def matchTables(s1: DataFrame, s2: DataFrame, id1: String, id2: String,
       mapping: Seq[MatchColumn], opts: MatchOptions = MatchOptions()): DataFrame = {
-    val cands = candidates(s1, s2, id1, id2, mapping, opts)
-    val scored = score(cands, s1, s2, id1, id2, mapping)
+    val shortcut = opts.earlyTermination && !opts.returnAllMatches
+    val perfect =
+      if (shortcut) perfectPairs(s1, s2, id1, id2, mapping)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else null
+    val probe = if (shortcut) s1.join(perfect.select(col(id1)), Seq(id1), "left_anti") else s1
+
+    val cands = candidates(probe, s2, id1, id2, mapping, opts)
+    val scored = score(cands, probe, s2, id1, id2, mapping)
     val classified = scored.withColumn("match_result",
       classify($"overall_score", opts.threshold, opts.undecidedRange))
-    if (opts.returnAllMatches)
-      classified.where($"overall_score" >= opts.threshold - opts.undecidedRange)
-    else {
-      // best candidate is emitted unconditionally (classification labels
-      // it; the reference applies no threshold filter in best-match
-      // mode, matcher.py:1286-1295)
-      val w = Window.partitionBy(col(id1)).orderBy($"overall_score".desc, col(id2).asc)
-      classified.withColumn("_rn", row_number().over(w))
-        .where($"_rn" === 1)
-        .drop("_rn")
-    }
+    val base =
+      if (opts.returnAllMatches)
+        classified.where($"overall_score" >= opts.threshold - opts.undecidedRange)
+      else {
+        // best candidate is emitted unconditionally (classification labels
+        // it; the reference applies no threshold filter in best-match
+        // mode, matcher.py:1286-1295)
+        val w = Window.partitionBy(col(id1)).orderBy($"overall_score".desc, col(id2).asc)
+        classified.withColumn("_rn", row_number().over(w))
+          .where($"_rn" === 1)
+          .drop("_rn")
+      }
+    if (shortcut) {
+      val perfectScored = perfect.select(
+        col(id1) +: col(id2) +:
+          mapping.map(m => lit(1.0).as(s"score_${m.col1}")) :+
+          lit(1.0).as("overall_score") :+
+          classify(lit(1.0), opts.threshold, opts.undecidedRange).as("match_result"): _*)
+      base.unionByName(perfectScored)
+    } else base
   }
+
+  /** Match-result distribution (accept/undecided/reject counts) — the
+    * summary the reference CLI prints after a run (main.py:284-285).
+    */
+  def matchDistribution(matches: DataFrame): DataFrame =
+    matches.groupBy($"match_result").agg(count(lit(1)).as("n"))
 
   /** One query field: master column, literal query value, semantic
     * type, weight.
@@ -215,11 +367,11 @@ object Matching {
       import spark.implicits._
       val one = Seq(0).toDF("i")
       val arr = array_distinct(flatten(array(fields.map(f =>
-        blockingKeys(lit(f.value), blockingStrategies)): _*)))
+        blockingKeys(lit(f.value), blockingStrategies, f.col)): _*)))
       one.select(arr).head().getSeq[String](0)
     }
     val masterKeys = array_distinct(flatten(array(fields.map(f =>
-      blockingKeys(col(f.col), blockingStrategies)): _*)))
+      blockingKeys(col(f.col), blockingStrategies, f.col)): _*)))
     val blocked = master.where(arrays_overlap(masterKeys, typedLit(qKeys)))
     val scoreCols: Seq[(String, Column, Double)] = fields.map { f =>
       val a = lower(Normalizers.byType(col(f.col), f.colType).cast("string"))

@@ -98,13 +98,91 @@ class MatchingSpec extends AnyFunSuite {
     assert(scores == scores.sorted.reverse)
   }
 
-  test("blocking keys: validity filter and strategy shapes") {
+  test("blocking keys: validity filter and strategy shapes (reference parity)") {
     import org.apache.spark.sql.functions.col
     val df = Seq(("hello world"), (""), ("nan")).toDF("v")
       .select(Matching.blockingKeys(col("v"),
-        Seq("first_char", "three_gram", "last_three", "word_prefix")).as("k"))
+        Seq("first_char", "three_gram", "last_three", "word_prefix", "word_suffix")).as("k"))
     val rows = df.collect().map(_.getSeq[String](0))
-    assert(rows(0).toSet == Set("first:h", "3gram:hel", "last3:rld", "word1:hel", "wordN:wo"))
+    // word_prefix emits the first word's 2- AND 3-prefix; word_suffix
+    // the last word's 2-prefix only when >1 word (matcher.py:707-717)
+    assert(rows(0).toSet ==
+      Set("first:h", "3gram:hel", "last3:rld", "word1:he", "word1:hel", "wordN:wo"))
     assert(rows(1).isEmpty && rows(2).isEmpty)
+  }
+
+  test("blocking keys: length guards and fallback key (matcher.py:699-721)") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(("ab"), ("x"), ("one two")).toDF("v")
+    // guards: no 3gram/last3 below length 3; no word_suffix for 1 word
+    val guarded = df.select(Matching.blockingKeys(col("v"),
+      Seq("three_gram", "last_three", "first_char")).as("k"))
+      .collect().map(_.getSeq[String](0))
+    assert(guarded(0).toSet == Set("first:a"))
+    assert(guarded(1).toSet == Set("first:x"))
+    assert(guarded(2).toSet == Set("3gram:one", "last3:two", "first:o"))
+    // all strategies guard out -> fallback first-char key
+    val fb = df.select(Matching.blockingKeys(col("v"), Seq("three_gram")).as("k"))
+      .collect().map(_.getSeq[String](0))
+    assert(fb(0).toSet == Set("fallback:a"))
+    assert(fb(1).toSet == Set("fallback:x"))
+    assert(fb(2).toSet == Set("3gram:one"))
+    // tag prefixes every key
+    val tagged = df.select(Matching.blockingKeys(col("v"),
+      Seq("first_char"), "name").as("k")).collect().map(_.getSeq[String](0))
+    assert(tagged(0).toSet == Set("name:first:a"))
+  }
+
+  test("zero-key cartesian fallback: disjoint-key probe still matched (matcher.py:739-743)") {
+    // probe names share NO blocking key with the master side; the
+    // reference scans all of source2 when it has <= 10k rows
+    val s1 = Seq((1L, "zzqy"), (2L, "zzqz")).toDF("k1", "n1")
+    val s2 = Seq((10L, "aaqy"), (11L, "aaqz"), (12L, "bbbb")).toDF("k2", "n2")
+    val mapping = Seq(MatchColumn("n1", "n2", "levenshtein", 1.0))
+    val out = Matching.matchTables(s1, s2, "k1", "k2", mapping,
+      MatchOptions(threshold = 0.4, undecidedRange = 0.05))
+      .select("k1", "k2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // best by levenshtein: zzqy->aaqy (0.5), zzqz->aaqz (0.5)
+    assert(out == Set((1L, 10L), (2L, 11L)))
+    // with the fallback disabled the probes produce no rows at all
+    val none = Matching.matchTables(s1, s2, "k1", "k2", mapping,
+      MatchOptions(threshold = 0.4, cartesianFallbackLimit = 0))
+    assert(none.count() == 0)
+  }
+
+  test("perfect-match shortcut: identical rows bypass scoring, others keep true best") {
+    val s1 = Seq((1L, "alice brown", 10.0), (2L, "carol jones", 20.0)).toDF("k1", "n1", "b1")
+    val s2 = Seq(
+      (5L, "alice brown", 10.0),  // identical to row 1
+      (6L, "alice browne", 10.0), // near
+      (7L, "carol johns", 20.0)   // best for row 2 (no identical twin)
+    ).toDF("k2", "n2", "b2")
+    val mapping = Seq(MatchColumn("n1", "n2", "levenshtein", 0.7),
+      MatchColumn("b1", "b2", "numeric", 0.3))
+    val out = Matching.matchTables(s1, s2, "k1", "k2", mapping,
+      MatchOptions(threshold = 0.8, undecidedRange = 0.05))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(r.fieldIndex("overall_score"))))
+      .toMap
+    assert(out(1L)._1 == 5L && out(1L)._2 == 1.0)
+    assert(out(2L)._1 == 7L && out(2L)._2 < 1.0)
+  }
+
+  test("candidate cap: fallback ladder keeps the best key group, truncate keeps lowest ids") {
+    // probe "abc" shares 3gram with exactly one master row and
+    // first_char with three more; cap of 2 must keep the 3gram hit
+    // under the ladder (reference priority: 3gram before first)
+    val s1 = Seq((1L, "abcq")).toDF("k1", "n1")
+    val s2 = Seq((10L, "abcr"), (20L, "axxx"), (21L, "ayyy"), (22L, "azzz"))
+      .toDF("k2", "n2")
+    val mapping = Seq(MatchColumn("n1", "n2", "levenshtein", 1.0))
+    def run(opts: MatchOptions) =
+      Matching.candidates(s1, s2, "k1", "k2", mapping, opts)
+        .collect().map(_.getLong(1)).toSet
+    val base = MatchOptions(blockingStrategies = Seq("first_char", "three_gram"),
+      cartesianFallbackLimit = 0, maxCandidates = 2)
+    assert(run(base.copy(candidateTrimStrategy = "fallback")) == Set(10L))
+    assert(run(base.copy(candidateTrimStrategy = "truncate")) == Set(10L, 20L))
+    // no cap: all four first-char hits + the 3gram hit
+    assert(run(base.copy(maxCandidates = 0)) == Set(10L, 20L, 21L, 22L))
   }
 }

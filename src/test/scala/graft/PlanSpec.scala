@@ -65,4 +65,37 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
   }
+
+  test("near-dup pipeline never groups on raw text or builds collect_list arrays") {
+    // the round-1 scale-killers: groupBy(full text) ships the corpus as
+    // shuffle-key bytes; collect_list(id) builds one giant row per hot
+    // boilerplate group. The exact collapse must group on the content
+    // hash and rejoin members by id.
+    val df = Dedup.nearDupClusters(docs, "doc_id", "text", DedupConfig())
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(!p.contains("collect_list"), s"collect_list in plan:\n${p.take(2000)}")
+    val aggKeys = df.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        a.groupingExpressions.map(_.dataType)
+    }.flatten
+    assert(!aggKeys.contains(org.apache.spark.sql.types.StringType),
+      "no aggregate may group on a raw string key in the dedup pipeline")
+  }
+
+  test("dense-id renumber has no un-partitioned window") {
+    val clusters = Dedup.exactClusters(docs.select(col("doc_id"),
+      col("text")), "doc_id", "text")
+    val mapping = graft.dedup.ConnectedComponents.denseIds(clusters.select(col("cluster_id")))
+    // AQE wraps the physical plan, so inspect the printed tree: a
+    // WindowExec line carries [functions], [partitionSpec], [orderSpec]
+    // — the partition spec must name the range-partition id column
+    val windowLines = mapping.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windowLines.nonEmpty, "expected the partitioned numbering window")
+    assert(windowLines.forall(_.contains("[_p")),
+      s"dense-id window must be partitioned (a global window serializes on one task):\n${windowLines.mkString("\n")}")
+    // and it renumbers correctly: dense ranks 0..n-1 in cluster_id order
+    val got = mapping.orderBy(col("cluster_id")).collect().map(_.getLong(1)).toSeq
+    assert(got == got.indices.map(_.toLong))
+  }
 }

@@ -135,8 +135,23 @@ class WebDedupSpec extends AnyFunSuite {
     java.nio.file.Files.delete(java.nio.file.Paths.get(root, "clusters", "_manifest.json"))
     val wh2 = new Warehouse(root, spark)
     val c2 = WebDedup.run(pages, wh2, cfg).collect().map(_.toSeq).toSet
-    assert(wh2.buildCount == 2, "only the uncommitted stages rebuild")
+    // pairs rebuilds (no marker) -> new snapshot id -> the parent-chain
+    // check invalidates assignments too -> clusters: 3 stages, i.e.
+    // everything from the killed stage onward; the 3 upstream stages
+    // (extracted, exact_map, signatures) are reused
+    assert(wh2.buildCount == 3, "the killed stage and its descendants rebuild")
     assert(c1 == c2)
+  }
+
+  test("changed input invalidates checkpoints (input snapshot in fingerprint)") {
+    val root = java.nio.file.Files.createTempDirectory("wh").toString
+    WebDedup.run(pages, new Warehouse(root, spark), cfg)
+    // same warehouse root, same config, DIFFERENT corpus: nothing may
+    // be silently reused (the round-1 advice's stale-resume hazard)
+    val wh2 = new Warehouse(root, spark)
+    val changed = pages.where(col("page_id") =!= 3L)
+    WebDedup.run(changed, wh2, cfg)
+    assert(wh2.buildCount == 6, "changed input must rebuild every stage")
   }
 
   test("config change invalidates checkpoints (no stale reuse)") {
