@@ -39,13 +39,68 @@ object Main {
 
     try {
       if (opts.contains("search")) runSearch(spark, opts)
-      else runConfig(spark, opts("config"))
+      else runConfig(spark, opts("config"), opts)
     } finally spark.stop()
   }
 
-  private def runConfig(spark: SparkSession, path: String): Unit = {
+  /** Query record: field -> (text value, was-a-JSON-number) — number-
+    * ness drives type detection like the reference's one-row DataFrame
+    * (column_analyzer.py:241-290).
+    */
+  private[graft] def parseQuery(opts: Map[String, String]): Map[String, (String, Boolean)] = {
+    val raw = opts.get("query").getOrElse {
+      val f = opts.getOrElse("query-file",
+        throw new IllegalArgumentException(
+          "Either --query or --query-file is required for search mode"))
+      java.nio.file.Files.readString(java.nio.file.Paths.get(f))
+    }
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(raw)
+    import scala.jdk.CollectionConverters._
+    node.fields().asScala.map(e =>
+      e.getKey -> (e.getValue.asText(), e.getValue.isNumber)).toMap
+  }
+
+  /** Per-field search mapping with analyze_query_columns parity: the
+    * QUERY VALUE is typed independently of the master column; a
+    * disagreement falls back to string_general
+    * (column_analyzer.py:241-290).
+    */
+  private[graft] def searchFields(master: DataFrame, query: Map[String, (String, Boolean)],
+      explicit: Seq[(String, String, Double)]): Seq[Matching.SearchField] = {
+    val mappings: Seq[(String, String, Double)] =
+      if (explicit.nonEmpty) explicit
+      else ColumnAnalyzer.autoDetectQueryMappings(query.keys.toSeq, master.columns.toSeq)
+        .toSeq.map { case (qk, mc) => (qk, mc, 1.0) }
+    mappings.sortBy(_._1).flatMap { case (qk, mcol, w) =>
+      query.get(qk).filter(_ => master.columns.contains(mcol)).map { case (value, isNum) =>
+        val t1 = ColumnAnalyzer.detectValueType(value, qk, isNum)
+        val t2 = ColumnAnalyzer.detectColumnType(master, mcol)
+        val t = if (t1 == t2) t1 else "string_general"
+        Matching.SearchField(mcol, value, t, w)
+      }
+    }
+  }
+
+  private[graft] def runConfig(spark: SparkSession, path: String,
+      opts: Map[String, String] = Map.empty): Unit = {
     val cfg = JobConfig.parseFile(path)
     cfg.mode match {
+      case "search" =>
+        // reference search-from-config: source2 is the master dataset;
+        // the query record arrives via --query/--query-file
+        // (main.py:135-216, job_runner.py:348-372)
+        val master = Sources.read(spark, cfg.source2.get)
+        val query = parseQuery(opts)
+        val explicit = cfg.matchConfig.columns.map(c =>
+          (c.source1, c.source2.getOrElse(c.source1), c.weight))
+        val fields = searchFields(master, query, explicit)
+        val hits = Matching.search(master, master.columns.head, fields,
+          cfg.matchConfig.threshold,
+          opts.getOrElse("max-results", "10").toInt,
+          cfg.matchConfig.blockingStrategies)
+        hits.show(100, truncate = false)
+        if (cfg.output.path.isDefined || cfg.output.isJdbc)
+          Sources.write(hits, cfg.output)
       case "clustering" =>
         val src = Sources.read(spark, cfg.source1.get)
         val cc = cfg.clusterConfig
@@ -83,17 +138,7 @@ object Main {
 
   private def runSearch(spark: SparkSession, opts: Map[String, String]): Unit = {
     val master = Sources.read(spark, graft.config.SourceSpec(path = Some(opts("master"))))
-    val query: Map[String, String] = {
-      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(opts("query"))
-      import scala.jdk.CollectionConverters._
-      node.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
-    }
-    val mappings = ColumnAnalyzer.autoDetectQueryMappings(
-      query.keys.toSeq, master.columns.toSeq)
-    val fields = mappings.toSeq.sortBy(_._1).map { case (qk, mcol) =>
-      Matching.SearchField(mcol, query(qk),
-        ColumnAnalyzer.detectColumnType(master, mcol), 1.0)
-    }
+    val fields = searchFields(master, parseQuery(opts), Nil)
     val hits = Matching.search(master, master.columns.head, fields,
       opts.getOrElse("threshold", "0.5").toDouble,
       opts.getOrElse("max-results", "10").toInt)

@@ -247,6 +247,56 @@ object SparkEntry {
           $"match_result")
     },
 
+    "match_zero_key" -> { (s, dir) =>
+      // probe names are reversed: every blocking key (group-tagged) is
+      // disjoint from the master side, so matches ONLY surface through
+      // the reference's zero-key cartesian fallback (matcher.py:739-743)
+      val c = t(s, dir, "customer")
+      val s1 = c.where($"c_custkey" % 50 === 0)
+        .select($"c_custkey".cast("long").as("k1"),
+          reverse($"c_name").as("name1"))
+      val s2 = c.select($"c_custkey".cast("long").as("k2"), $"c_name".as("name2"))
+      val mapping = Seq(MatchColumn("name1", "name2", "levenshtein", 1.0))
+      Matching.matchTables(s1, s2, "k1", "k2", mapping,
+          MatchOptions(threshold = 0.5, undecidedRange = 0.05))
+        .select($"k1", $"k2", round($"overall_score", 6).as("overall_score"))
+    },
+
+    "match_distribution" -> { (s, dir) =>
+      // accept/undecided/reject counts over the best-match output — the
+      // summary surface the reference CLI prints (main.py:284-285)
+      val c = t(s, dir, "customer")
+      val s1 = c.select($"c_custkey".cast("long").as("k1"),
+        $"c_name".as("name1"), $"c_acctbal".as("bal1"))
+      val s2 = c.select($"c_custkey".cast("long").as("k2"),
+        concat(substring($"c_name", 1, 2), substring($"c_name", 4, 100)).as("name2"),
+        $"c_acctbal".as("bal2"))
+      val mapping = Seq(MatchColumn("name1", "name2", "levenshtein", 0.7),
+        MatchColumn("bal1", "bal2", "numeric", 0.3))
+      Matching.matchDistribution(
+        Matching.matchTables(s1, s2, "k1", "k2", mapping,
+          MatchOptions(threshold = 0.75, undecidedRange = 0.05)))
+    },
+
+    "match_capped" -> { (s, dir) =>
+      // candidate cap with the `fallback` priority ladder
+      // (matcher.py:785-855): 4-digit zero-padded keys make every
+      // first_char block the whole table (cap always trips) while the
+      // highest-priority surviving group (3gram = same leading decade)
+      // stays under the cap, so the ladder keeps exactly that group
+      val c = t(s, dir, "customer")
+      val side = c.select($"c_custkey".cast("long").as("k"),
+        lpad($"c_custkey".cast("string"), 4, "0").as("n"))
+      val mapping = Seq(MatchColumn("n", "n", "levenshtein", 1.0))
+      Matching.candidates(
+          side.withColumnRenamed("k", "k1"), side.withColumnRenamed("k", "k2"),
+          "k1", "k2", mapping,
+          MatchOptions(blockingStrategies = Seq("three_gram", "last_three", "first_char"),
+            maxCandidates = 100, candidateTrimStrategy = "fallback",
+            cartesianFallbackLimit = 0))
+        .select($"k1", $"k2")
+    },
+
     "search_topk" -> { (s, dir) =>
       Matching.search(t(s, dir, "customer"), "c_custkey",
           Seq(Matching.SearchField("c_name", "Customer#000000777", "levenshtein", 1.0)),
@@ -409,12 +459,22 @@ object SparkEntry {
     },
 
     "dedup_simhash_pairs_r3" -> { (s, dir) =>
-      val d = t(s, dir, "documents")
-      val expanded = d.select($"doc_id", $"text")
-        .unionAll(d.where($"doc_id" % 4 === 0)
-          .select(($"doc_id" + 100000).as("doc_id"), $"text"))
+      // radius-3 pigeonhole recall on planted hamming-0 pairs (reversed
+      // token order = same multiset = same SimHash): every planted pair
+      // must survive the 4-block join at r=3. Data-dependent pairs
+      // between corpus docs are filtered out of the contract (their
+      // hamming is not SQL-predictable); the full r>0 semantics are
+      // pinned against a brute-force all-pairs oracle in DedupSpec.
+      val clean = cleanDocs(t(s, dir, "documents"))
+      val rev = clean.where($"doc_id" % 4 === 0)
+        .select(($"doc_id" + 100000).as("doc_id"),
+          array_join(reverse(graft.functions.ws_tokens(
+            Normalizers.normalizeString($"text"))), " ").as("text"))
+      val expanded = clean.select($"doc_id", $"text").unionAll(rev)
       val sigs = Dedup.signatures(expanded, "doc_id", "text")
       Dedup.simhashPairs(sigs, radius = 3)
+        .where($"id2" === $"id1" + 100000)
+        .select($"id1", $"id2", $"hamming")
     },
 
     "dedup_band_stats" -> { (s, dir) =>
@@ -428,11 +488,20 @@ object SparkEntry {
     },
 
     "sim_token_ratios" -> { (s, dir) =>
+      // planted 3-case fixture with hand-derived rapidfuzz goldens
+      // (indel ratio = 2*LCS/(|a|+|b|)):
+      //  k%3=0: permuted same token set -> tsort=tset=1.0
+      //  k%3=1: "a b" vs "b c" -> tsort: LCS("a b","b c")=1 -> 2/6;
+      //         tset: sect="b", sectAB="b a", sectBA="b c",
+      //         max(indel("b a","b c")=4/6, indel("b","b a")=2/4) = 2/3
+      //  k%3=2: one side empty -> 0.0
       val c = t(s, dir, "customer")
-      val shuffled = concat(substring($"c_name", 10, 9), lit(" "), substring($"c_name", 1, 8))
-      c.select($"c_custkey".cast("long").as("c_custkey"),
-        round(graft.functions.token_set_ratio(lower($"c_name"), lower(shuffled)), 6).as("tset"),
-        round(graft.functions.token_sort_ratio(lower($"c_name"), lower(shuffled)), 6).as("tsort"))
+      val k = $"c_custkey"
+      val a = when(k % 3 === 0, "alpha beta gamma").when(k % 3 === 1, "a b").otherwise("")
+      val b = when(k % 3 === 0, "gamma alpha beta").when(k % 3 === 1, "b c").otherwise("x")
+      c.select(k.cast("long").as("c_custkey"),
+        round(graft.functions.token_set_ratio(lower(a), lower(b)), 6).as("tset"),
+        round(graft.functions.token_sort_ratio(lower(a), lower(b)), 6).as("tsort"))
     }
   )
 
@@ -673,6 +742,53 @@ object SparkEntry {
         |  count(DISTINCT event_id) AS n_events,
         |  max(value) AS max_value,
         |  CAST(floor(epoch(min(ts))) AS BIGINT) AS first_ts
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // zero-key cartesian fallback: reversed probe names share no blocking
+    // key with the master side, so best-match output == best over the
+    // full cross product (matcher.py:739-743 semantics)
+    "match_zero_key" ->
+      """WITH s1 AS (SELECT c_custkey AS k1, lower(reverse(c_name)) AS n1
+        |            FROM customer WHERE c_custkey%50=0),
+        |s2 AS (SELECT c_custkey AS k2, lower(c_name) AS n2 FROM customer),
+        |sc AS (SELECT k1, k2,
+        |  1.0 - levenshtein(n1, n2)*1.0/greatest(length(n1), length(n2)) AS o FROM s1, s2),
+        |best AS (SELECT k1, k2, o, row_number() OVER (PARTITION BY k1 ORDER BY o DESC, k2) AS rn FROM sc)
+        |SELECT k1, k2, round(o, 6) AS overall_score FROM best WHERE rn = 1""".stripMargin,
+
+    "match_distribution" ->
+      s"""WITH $matchScores,
+         |best AS (SELECT *, row_number() OVER (PARTITION BY k1 ORDER BY o DESC, k2) AS rn FROM ov),
+         |cls AS (SELECT CASE WHEN o >= 0.75+0.05 THEN 'accept' WHEN o <= 0.75-0.05 THEN 'reject'
+         |               ELSE 'undecided' END AS match_result FROM best WHERE rn = 1)
+         |SELECT match_result, count(*) AS n FROM cls GROUP BY 1""".stripMargin,
+
+    // fallback ladder: every first_char block overflows the cap while the
+    // highest-priority surviving group (shared leading 3-gram of the
+    // zero-padded key) always fits, so exactly the same-3gram pairs stay
+    "match_capped" ->
+      """WITH s AS (SELECT c_custkey AS k, lpad(CAST(c_custkey AS VARCHAR), 4, '0') AS n
+        |           FROM customer)
+        |SELECT a.k AS k1, b.k AS k2
+        |FROM s a JOIN s b ON substr(a.n, 1, 3) = substr(b.n, 1, 3)""".stripMargin,
+
+    // planted hamming-0 pairs (reversed token order = same multiset =
+    // identical SimHash) must all survive the radius-3 pigeonhole join
+    "dedup_simhash_pairs_r3" ->
+      s"""WITH $dupIdsCtes,
+         |base AS (SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM dup))
+         |SELECT CAST(doc_id AS BIGINT) AS id1, CAST(doc_id+100000 AS BIGINT) AS id2,
+         |       CAST(0 AS INT) AS hamming
+         |FROM base WHERE doc_id%4=0""".stripMargin,
+
+    // hand-derived rapidfuzz goldens for the 3-case planted fixture
+    // (see the query comment for the LCS arithmetic)
+    "sim_token_ratios" ->
+      """SELECT c_custkey,
+        |  CAST(CASE WHEN c_custkey%3=0 THEN 1.0
+        |       WHEN c_custkey%3=1 THEN round(2.0/3.0, 6) ELSE 0.0 END AS DOUBLE) AS tset,
+        |  CAST(CASE WHEN c_custkey%3=0 THEN 1.0
+        |       WHEN c_custkey%3=1 THEN round(1.0/3.0, 6) ELSE 0.0 END AS DOUBLE) AS tsort
+        |FROM customer""".stripMargin
   )
 }

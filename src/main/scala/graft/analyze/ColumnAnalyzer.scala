@@ -50,6 +50,26 @@ object ColumnAnalyzer {
     }
     val sample = df.select(column).na.drop().limit(sampleSize)
       .collect().map(_.get(0).toString.trim).filter(_.nonEmpty)
+    detectSampleType(sample.toSeq, column)
+  }
+
+  /** Semantic type of a single literal value (search-mode query
+    * records): the reference types each query FIELD independently of
+    * the master column so a differently-shaped query value picks its
+    * own kernel before the pair falls back (column_analyzer.py:241-290,
+    * via detect_column_type over a one-row frame).
+    */
+  def detectValueType(value: String, name: String = "", isJsonNumber: Boolean = false): String = {
+    val v = Option(value).map(_.trim).getOrElse("")
+    if (isJsonNumber) "numeric" // pd.DataFrame types a JSON number numerically
+    else if (v.isEmpty) "string_general"
+    else detectSampleType(Seq(v), name)
+  }
+
+  /** Shared sampled heuristics with the reference's vote thresholds
+    * (column_analyzer.py:33-119).
+    */
+  private def detectSampleType(sample: Seq[String], column: String): String = {
     if (sample.isEmpty) return "string_general"
     val n = sample.length.toDouble
 

@@ -65,4 +65,46 @@ class JobConfigSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("threshold"))
   }
+
+  test("search config runs end-to-end through Main.runConfig") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("searchcfg")
+    val master = dir.resolve("master.parquet").toString
+    Seq((1L, "Robert Johnson", 42.0), (2L, "Mary Smith", 7.0), (3L, "Robert Johnstone", 9.0))
+      .toDF("id", "name", "score").write.parquet(master)
+    val out = dir.resolve("hits.parquet").toString
+    val cfgPath = dir.resolve("cfg.json")
+    java.nio.file.Files.writeString(cfgPath,
+      s"""{"mode": "search", "source2": "$master", "output": "$out",
+         | "match_config": {"columns": [{"source1": "name", "source2": "name", "weight": 1.0}],
+         |  "threshold": 0.6}}""".stripMargin)
+    Main.runConfig(spark, cfgPath.toString,
+      Map("query" -> """{"name": "Robert Johnson"}"""))
+    val hits = spark.read.parquet(out).orderBy(org.apache.spark.sql.functions.desc("overall_score"))
+      .select("id").as[Long].collect().toSeq
+    assert(hits.head == 1L, s"exact hit must rank first, got $hits")
+    assert(hits.contains(3L), "near variant above threshold must be returned")
+    assert(!hits.contains(2L), "unrelated row below threshold must be filtered")
+  }
+
+  test("search query values are typed independently of the master column") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    // master 'contact' column holds emails -> detected 'email'; the
+    // query value is a phone-shaped string -> pair falls back to
+    // string_general instead of scoring a phone against the email kernel
+    val master = Seq((1L, "bob@example.com"), (2L, "sue@example.com")).toDF("id", "contact")
+    val fields = Main.searchFields(master,
+      Map("contact" -> ("555-123-4567", false)), Nil)
+    assert(fields.map(f => (f.col, f.colType)) == Seq(("contact", "string_general")))
+    // agreeing types keep the specific kernel
+    val fields2 = Main.searchFields(master,
+      Map("contact" -> ("ann@example.com", false)), Nil)
+    assert(fields2.map(_.colType) == Seq("email"))
+    // JSON numbers type as numeric like the reference's one-row frame
+    val m2 = Seq((1L, 10.0)).toDF("id", "amount")
+    val fields3 = Main.searchFields(m2, Map("amount" -> ("12", true)), Nil)
+    assert(fields3.map(_.colType) == Seq("numeric"))
+  }
 }
