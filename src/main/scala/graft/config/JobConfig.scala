@@ -17,8 +17,24 @@ final case class SourceSpec(
     host: Option[String] = None,
     user: Option[String] = None,
     password: Option[String] = None,
-    database: Option[String] = None) {
+    database: Option[String] = None,
+    /** explicit JDBC url (any engine); host/database build a mysql url
+      * when absent (data_loader.py:183-188)
+      */
+    url: Option[String] = None,
+    driver: Option[String] = None,
+    /** Spark-side parity for the reference's chunked MySQL read
+      * (data_loader.py:193-197): split the scan into numPartitions
+      * range predicates on partitionColumn; bounds are auto-derived
+      * with one min/max query when not given.
+      */
+    partitionColumn: Option[String] = None,
+    numPartitions: Option[Int] = None,
+    lowerBound: Option[Long] = None,
+    upperBound: Option[Long] = None) {
   def isJdbc: Boolean = table.isDefined
+  def jdbcUrl: Option[String] =
+    url.orElse(host.map(h => s"jdbc:mysql://$h/${database.getOrElse("")}"))
 }
 
 final case class ColumnMapping(source1: String, source2: Option[String], weight: Double,
@@ -116,7 +132,12 @@ object JobConfig {
       SourceSpec(
         table = Some(n.get("table").asText()),
         host = opt(n, "host"), user = opt(n, "user"),
-        password = opt(n, "password"), database = opt(n, "database"))
+        password = opt(n, "password"), database = opt(n, "database"),
+        url = opt(n, "url"), driver = opt(n, "driver"),
+        partitionColumn = opt(n, "partition_column"),
+        numPartitions = if (n.has("num_partitions")) Some(n.get("num_partitions").asInt) else None,
+        lowerBound = if (n.has("lower_bound")) Some(n.get("lower_bound").asLong) else None,
+        upperBound = if (n.has("upper_bound")) Some(n.get("upper_bound").asLong) else None)
     }
 
   private def matchSettings(n: JsonNode): MatchSettings = {

@@ -9,23 +9,55 @@ import graft.norm.Normalizers
   * /root/reference/src/data_loader.py:17-46 and output_writer.py):
   * path extension routes csv/parquet/json; `s3://` rewrites to `s3a://`
   * (native read — no temp-file download); a `table` spec routes to the
-  * JDBC reader with partitioned-read options (interface kept; no
-  * database ships in this sandbox). The reference's >500 MB chunked
-  * CSV read is free here — a partitioned scan.
+  * JDBC reader/writer (round-trip tested against embedded Derby in
+  * SourcesSpec) with partitioned reads on `partition_column` — the
+  * distributed form of the reference's chunked MySQL read
+  * (data_loader.py:174-214). The reference's >500 MB chunked CSV read
+  * is free here — a partitioned scan.
   */
 object Sources {
 
   def read(spark: SparkSession, spec: SourceSpec): DataFrame = spec match {
-    case SourceSpec(Some(path), None, _, _, _, _) => readPath(spark, path)
+    case s if s.path.isDefined && !s.isJdbc => readPath(spark, s.path.get)
     case s if s.isJdbc =>
-      val reader = spark.read.format("jdbc")
+      val base = jdbcOptions(spark.read.format("jdbc"), s)
         .option("dbtable", s.table.get)
-      val withUrl = s.host.map(h =>
-        reader.option("url", s"jdbc:mysql://$h/${s.database.getOrElse("")}")).getOrElse(reader)
-      val withAuth = (for { u <- s.user; p <- s.password } yield
-        withUrl.option("user", u).option("password", p)).getOrElse(withUrl)
-      withAuth.load()
+      s.partitionColumn match {
+        case Some(col) =>
+          val n = s.numPartitions.getOrElse(spark.sparkContext.defaultParallelism)
+          // bounds auto-derived with ONE min/max pushdown query when not
+          // configured — the distributed analogue of the reference's
+          // chunked read (data_loader.py:193-197), which also needs no
+          // caller-supplied bounds
+          val (lo, hi) = (s.lowerBound, s.upperBound) match {
+            case (Some(l), Some(u)) => (l, u)
+            case _ =>
+              // quote per-dialect: Spark's JDBC writer creates quoted
+              // (case-sensitive) column names
+              val q = org.apache.spark.sql.jdbc.JdbcDialects
+                .get(s.jdbcUrl.getOrElse("")).quoteIdentifier(col)
+              val row = jdbcOptions(spark.read.format("jdbc"), s)
+                .option("dbtable",
+                  s"(SELECT min($q) AS lo, max($q) AS hi FROM ${s.table.get}) b")
+                .load().head()
+              (row.get(0).toString.toDouble.toLong, row.get(1).toString.toDouble.toLong)
+          }
+          base.option("partitionColumn", col)
+            .option("numPartitions", n)
+            .option("lowerBound", lo)
+            .option("upperBound", hi)
+            .load()
+        case None => base.load()
+      }
     case other => throw new IllegalArgumentException(s"unreadable source spec: $other")
+  }
+
+  private def jdbcOptions(r0: org.apache.spark.sql.DataFrameReader, s: SourceSpec) = {
+    var r = r0
+    s.jdbcUrl.foreach(u => r = r.option("url", u))
+    s.driver.foreach(d => r = r.option("driver", d))
+    for { u <- s.user; p <- s.password } r = r.option("user", u).option("password", p)
+    r
   }
 
   private def readPath(spark: SparkSession, path0: String): DataFrame = {
@@ -54,7 +86,8 @@ object Sources {
   }
 
   def write(df: DataFrame, spec: SourceSpec): Unit = spec match {
-    case SourceSpec(Some(path0), None, _, _, _, _) =>
+    case s if s.path.isDefined && !s.isJdbc =>
+      val path0 = s.path.get
       val path = if (path0.startsWith("s3://")) "s3a://" + path0.stripPrefix("s3://") else path0
       val lower = path.toLowerCase
       if (lower.endsWith(".csv"))
@@ -63,7 +96,13 @@ object Sources {
         df.write.mode("overwrite").json(path)
       else df.write.mode("overwrite").parquet(path)
     case s if s.isJdbc =>
-      df.write.format("jdbc").mode("overwrite").option("dbtable", s.table.get).save()
+      var w = df.write.format("jdbc").mode("overwrite").option("dbtable", s.table.get)
+      s.jdbcUrl.foreach(u => w = w.option("url", u))
+      s.driver.foreach(d => w = w.option("driver", d))
+      for { u <- s.user; p <- s.password } w = w.option("user", u).option("password", p)
+      // parallel insert connections (sink-side analogue of chunking)
+      s.numPartitions.foreach(n => w = w.option("numPartitions", n))
+      w.save()
     case other => throw new IllegalArgumentException(s"unwritable sink spec: $other")
   }
 
