@@ -106,7 +106,7 @@ object Bench {
         .as("phone"))
   }
 
-  private def matchJob(spark: SparkSession, n: Int): Long = {
+  private def matchJob(spark: SparkSession, n: Int, earlyTermination: Boolean): Long = {
     val s1 = matchFixture(spark, n, 1)
       .withColumnRenamed("id", "id1")
     val s2 = matchFixture(spark, n, 1) // same generator => planted (i,i) truth
@@ -117,7 +117,8 @@ object Bench {
       MatchColumn("phone", "phone2", "phone", 0.3))
     Matching.matchTables(s1, s2, "id1", "id2", mapping,
       MatchOptions(threshold = 0.85, undecidedRange = 0.05,
-        blockingStrategies = Seq("first_char", "three_gram"))).count()
+        blockingStrategies = Seq("first_char", "three_gram"),
+        earlyTermination = earlyTermination)).count()
   }
 
   def main(args: Array[String]): Unit = {
@@ -164,8 +165,19 @@ object Bench {
     val tMax = time(dedupJob(spark, corpusPath))
     val thrMax = nDocs / tMax
 
-    // ---- reference-workload match (10k x 10k, blocking on)
-    val tMatch = time(matchJob(spark, 10000))
+    // ---- reference-workload match (10k x 10k, blocking on).
+    // Both sides are identical copies (the reference fixture's shape,
+    // test_large_scale_accuracy.py:100-106), so with early termination
+    // on (both engines' default) every probe row short-circuits on its
+    // perfect twin. The `scored` variant disables the shortcut and
+    // times the full candidate-join + scoring path (hot-key salted).
+    // min-of-2: this workload's host-noise spread is 2-3x (see BENCH.md)
+    val tMatch = math.min(
+      time(matchJob(spark, 10000, earlyTermination = true)),
+      time(matchJob(spark, 10000, earlyTermination = true)))
+    val tMatchScored = math.min(
+      time(matchJob(spark, 10000, earlyTermination = false)),
+      time(matchJob(spark, 10000, earlyTermination = false)))
 
     // ---- headline per-query timings at full cores
     val headline = Seq("dedup_minhash_clusters", "dedup_exact", "dedup_ngram_jaccard",
@@ -180,7 +192,8 @@ object Bench {
       s"web_dedup_${CoresLo}c" -> tLo,
       s"web_dedup_${CoresHi}c" -> tHi,
       s"web_dedup_${CoresMax}c" -> tMax,
-      "match_10kx10k" -> tMatch)
+      "match_10kx10k" -> tMatch,
+      "match_scored_10kx10k" -> tMatchScored)
     val qJson = allQueries.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val json =
       f"""{"metric":"dedup_docs_per_sec_${CoresMax}c","value":$thrMax%.1f,"unit":"docs/sec","queries":$qJson,"sf":"$sfDir","scaling":{"docs":$nDocs,"cores_lo":$CoresLo,"cores_hi":$CoresHi,"sec_lo":$tLo%.2f,"sec_hi":$tHi%.2f,"docs_per_sec_lo":$thrLo%.1f,"docs_per_sec_hi":$thrHi%.1f,"efficiency":$efficiency%.3f}}"""
@@ -219,7 +232,11 @@ object Bench {
          |Reference comparison (BASELINE.md): the reference's 10Kx10K fuzzy
          |match bound is < 300 s (4 workers). Ours (same workload shape:
          |30x30 name pool, email/phone, first_char+three_gram blocking,
-         |JW/token-set scoring, best-match): **$tMatch%.1f s** at $CoresMax cores.
+         |JW/token-set scoring, best-match): **$tMatch%.1f s** at $CoresMax
+         |cores with the perfect-match shortcut (both engines' default —
+         |the fixture is two identical copies), **$tMatchScored%.1f s** with
+         |the shortcut off (full candidate join + scoring, hot blocking
+         |keys salted across tasks).
          |
          |Per-query seconds at $CoresMax cores (sf dir `$sfDir`):
          |

@@ -150,6 +150,15 @@ object SparkEntry {
         .select($"id1", $"id2", round($"jaccard", 6).as("jaccard"))
     },
 
+    "dedup_ngram_capped" -> { (s, dir) =>
+      // stop-gram guard on: grams in >3 docs leave candidate generation
+      // (615 hot grams at sf0.01) but the jaccard stays exact via the
+      // hot-set correction; only boilerplate-only pairs drop
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 0.5,
+          maxGramDf = 3)
+        .select($"id1", $"id2", round($"jaccard", 6).as("jaccard"))
+    },
+
     "dedup_shared_span" -> { (s, dir) =>
       val clean = cleanDocs(t(s, dir, "documents"))
       val normLen = length(Normalizers.normalizeString($"text"))
@@ -564,6 +573,22 @@ object SparkEntry {
     "dedup_ngram_jaccard" ->
       s"""WITH ${jaccardCtes(3)}
          |SELECT i AS id1, j AS id2, round(jac, 6) AS jaccard FROM pj WHERE jac >= 0.5""".stripMargin,
+
+    // DF-cap semantics in SQL: exact jaccard over ALL grams, pair kept
+    // only when it shares >= 1 cold (df <= 3) gram
+    "dedup_ngram_capped" ->
+      s"""WITH $toksCte,
+         |g AS (SELECT id, unnest(list_distinct(list_transform(range(1, len(ts)-3+2), i -> array_to_string(ts[i:i+2], ' ')))) AS gr FROM t),
+         |sz AS (SELECT id, count(*) AS n FROM g GROUP BY 1),
+         |gdf AS (SELECT gr, count(*) AS dfc FROM g GROUP BY 1),
+         |inter AS (SELECT a.id AS i, b.id AS j, count(*) AS c,
+         |                 sum(CASE WHEN gdf.dfc <= 3 THEN 1 ELSE 0 END) AS cold
+         |          FROM g a JOIN g b ON a.gr = b.gr AND a.id < b.id
+         |          JOIN gdf ON gdf.gr = a.gr GROUP BY 1, 2),
+         |pj AS (SELECT i, j, c*1.0/(sa.n + sb.n - c) AS jac, cold
+         |       FROM inter JOIN sz sa ON i = sa.id JOIN sz sb ON j = sb.id)
+         |SELECT i AS id1, j AS id2, round(jac, 6) AS jaccard
+         |FROM pj WHERE jac >= 0.5 AND cold >= 1""".stripMargin,
 
     "dedup_shared_span" ->
       s"""WITH $dupIdsCtes,

@@ -82,7 +82,15 @@ object Dedup {
     */
   def ensureParallel(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // a file source with >= target files always scans wide enough (or
+    // Spark packed small files to >=128MB splits on purpose) — decide
+    // from the already-listed file index, no RDD conversion / second
+    // physical planning on the at-scale hot path. Few-file and
+    // non-file inputs (local fixtures) fall back to the exact check.
+    val files = df.inputFiles.length
+    if (files >= target) df
+    else if (df.rdd.getNumPartitions < target) df.repartition(target)
+    else df
   }
 
   // ------------------------------------------------------------ exact
@@ -333,18 +341,47 @@ object Dedup {
   /** Word n-gram Jaccard pairs above a threshold, via exploded
     * shingle-hash equi-join (set semantics; |A∩B| from the join count,
     * |A∪B| = |A|+|B|-|A∩B|).
+    *
+    * `maxGramDf` (0 = off) is the stop-gram guard: a gram appearing in
+    * more than that many documents (ubiquitous boilerplate shingle)
+    * would contribute a quadratic bucket to the equi-join. Hot grams
+    * are pulled out of candidate generation; the Jaccard stays EXACT —
+    * each doc's (small, broadcast-bounded) hot-gram hash set rides the
+    * candidate pair and `array_intersect` restores the hot overlap.
+    * Only recall changes: a pair sharing NOTHING but hot grams is no
+    * longer surfaced (the standard document-frequency-cap tradeoff;
+    * such pairs are boilerplate-only overlap by construction).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+      n: Int = 3, threshold: Double = 0.5, maxGramDf: Int = 0): DataFrame = {
     val norm = ensureParallel(df.select(col(idCol).cast("long").as("id"),
       Normalizers.normalizeString(col(textCol)).as("_t")))
     val grams = norm.select($"id",
       explode(array_distinct(word_shingles($"_t", n))).as("g"))
     val sizes = grams.groupBy($"id").agg(count(lit(1)).as("n"))
-    val inter = grams.as("a").join(grams.as("b"), Seq("g"))
-      .where($"a.id" < $"b.id")
-      .groupBy($"a.id".as("id1"), $"b.id".as("id2"))
-      .agg(count(lit(1)).as("inter"))
+    val inter =
+      if (maxGramDf <= 0) {
+        grams.as("a").join(grams.as("b"), Seq("g"))
+          .where($"a.id" < $"b.id")
+          .groupBy($"a.id".as("id1"), $"b.id".as("id2"))
+          .agg(count(lit(1)).as("inter"))
+      } else {
+        val hot = broadcast(grams.groupBy($"g").count()
+          .where($"count" > maxGramDf).select($"g", lit(true).as("_hot")))
+        val marked = grams.join(hot, Seq("g"), "left")
+        val cold = marked.where($"_hot".isNull).select($"id", $"g")
+        val hotSets = marked.where($"_hot".isNotNull)
+          .groupBy($"id").agg(sort_array(collect_set(xxhash64($"g"))).as("hg"))
+        cold.as("a").join(cold.as("b"), Seq("g"))
+          .where($"a.id" < $"b.id")
+          .groupBy($"a.id".as("id1"), $"b.id".as("id2"))
+          .agg(count(lit(1)).as("inter_cold"))
+          .join(hotSets.select($"id".as("id1"), $"hg".as("hg1")), Seq("id1"), "left")
+          .join(hotSets.select($"id".as("id2"), $"hg".as("hg2")), Seq("id2"), "left")
+          .select($"id1", $"id2",
+            ($"inter_cold" + when($"hg1".isNull || $"hg2".isNull, 0)
+              .otherwise(size(array_intersect($"hg1", $"hg2")))).as("inter"))
+      }
     inter
       .join(sizes.select($"id".as("id1"), $"n".as("n1")), "id1")
       .join(sizes.select($"id".as("id2"), $"n".as("n2")), "id2")

@@ -59,7 +59,24 @@ final case class MatchOptions(
       * short-circuits exact score-1.0 ties, so rows without an
       * identical twin still get their true best match.
       */
-    earlyTermination: Boolean = true) {
+    earlyTermination: Boolean = true,
+    /** source2 rows per blocking key above which the key is salted:
+      * a hot key (e.g. `first:j` over a name column) otherwise lands
+      * its entire |L|x|R| candidate explosion on ONE join task. Salting
+      * splits the probe side of hot keys into `saltBuckets` sub-keys
+      * and replicates the hot source2 rows across them — identical
+      * pair set, fan-out distributed. 0 disables. Pure distribution
+      * fix; no reference analogue needed (single-process there).
+      * Default targets keys whose single-task fan-out is genuinely
+      * pathological (65k rows x a similar probe side ~ 4e9 pairs on
+      * one task); below that the per-key work fits a task and the
+      * extra count/broadcast/replication costs more than it saves
+      * (measured: 10k x 10k fixture runs 1.5x slower salted at
+      * threshold 1024).
+      */
+    saltThreshold: Int = 65536,
+    /** salt fan-out for hot blocking keys (<=1 disables salting) */
+    saltBuckets: Int = 16) {
   require(candidateTrimStrategy == "truncate" || candidateTrimStrategy == "fallback",
     s"unknown candidateTrimStrategy $candidateTrimStrategy")
 }
@@ -188,10 +205,13 @@ object Matching {
     }
     val left = keyed(s1, id1, 1)
     val right1 = keyed(s2, id2, 2)
+    // per-key frequency of the source2 side, shared by the
+    // max_block_size guard and the hot-key salter; the hot-key lists
+    // derived from it are tiny — broadcast them
+    lazy val rightCounts = right1.groupBy($"_bk").count()
     val right0 =
       if (opts.maxBlockSize > 0) {
-        // skew guard: the hot-key list is tiny — broadcast it
-        val hotKeys = broadcast(right1.groupBy($"_bk").count()
+        val hotKeys = broadcast(rightCounts
           .where($"count" > opts.maxBlockSize).select($"_bk"))
         if (opts.skipHighCardinality)
           right1.join(hotKeys, Seq("_bk"), "left_anti")
@@ -203,16 +223,49 @@ object Matching {
           right1.join(hotKeys, Seq("_bk"), "left_anti").unionByName(trimmed)
         }
       } else right1
-    val right = if (opts.broadcastProbe) broadcast(right0) else right0
 
     // group priority rides the join for the trim ladder; min over the
     // pair's keys = the best group that produced the pair
     // keys are `tag:grp:value`; the grp segment is always index 2
     // (values may contain ':' themselves, so never index from the end)
-    val joined = left.join(right, "_bk")
-      .select(col(id1), col(id2),
-        coalesce(try_element_at(typedLit(GroupPriority),
-          element_at(split($"_bk", ":"), 2)), lit(6)).as("_p"))
+    val prio = coalesce(try_element_at(typedLit(GroupPriority),
+      element_at(split($"_bk", ":"), 2)), lit(6)).as("_p")
+    // hot keys: one (tiny, parallel) count of the exploded key table
+    // decides; the list is driver-small by construction (a key is hot
+    // only past saltThreshold rows). No hot keys -> the plain join,
+    // zero added plan nodes.
+    val hotKeys: Array[String] =
+      if (!opts.broadcastProbe && opts.saltBuckets > 1 && opts.saltThreshold > 0)
+        rightCounts.where($"count" > opts.saltThreshold).select($"_bk")
+          .collect().map(_.getString(0))
+      else Array.empty
+    val joined =
+      if (hotKeys.nonEmpty) {
+        // split probe rows of hot keys across saltBuckets sub-keys and
+        // replicate the matching source2 rows into every sub-key —
+        // the exact same (id1, id2) pair set, but a mega-key's join
+        // fan-out now lands on saltBuckets tasks instead of one.
+        // Few hot keys -> inline isin; many -> broadcast marker join
+        // (isin over thousands of literals bloats the codegen'd plan)
+        val spark = s2.sparkSession
+        def marked(df: DataFrame): DataFrame =
+          if (hotKeys.length <= 256) df.withColumn("_hot", $"_bk".isin(hotKeys.toSeq: _*))
+          else df.join(
+            broadcast(spark.createDataset(hotKeys.toSeq)(
+              org.apache.spark.sql.Encoders.STRING).toDF("_bk")
+              .withColumn("_m", lit(true))),
+            Seq("_bk"), "left").withColumn("_hot", coalesce($"_m", lit(false))).drop("_m")
+        val leftS = marked(left).select(col(id1), $"_bk",
+          when($"_hot", pmod(xxhash64(col(id1)), lit(opts.saltBuckets)).cast("int"))
+            .otherwise(0).as("_salt"))
+        val rightS = marked(right0).select(col(id2), $"_bk", explode(
+          when($"_hot", sequence(lit(0), lit(opts.saltBuckets - 1)))
+            .otherwise(array(lit(0)))).as("_salt"))
+        leftS.join(rightS, Seq("_bk", "_salt")).select(col(id1), col(id2), prio)
+      } else {
+        val right = if (opts.broadcastProbe) broadcast(right0) else right0
+        left.join(right, "_bk").select(col(id1), col(id2), prio)
+      }
     val pairs = joined.groupBy(col(id1), col(id2)).agg(min($"_p").as("_p"))
 
     val capped =

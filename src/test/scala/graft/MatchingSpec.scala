@@ -167,6 +167,21 @@ class MatchingSpec extends AnyFunSuite {
     assert(out(2L)._1 == 7L && out(2L)._2 < 1.0)
   }
 
+  test("hot-key salting: identical candidate pair set, salted or not") {
+    // every value starts with 'a' => `first:a` is one mega-key (60
+    // rows a side); salting must only redistribute, never change pairs
+    val s1 = (0L until 60L).map(i => (i, s"aa${i % 7}x")).toDF("k1", "n1")
+    val s2 = (100L until 160L).map(i => (i, s"aa${i % 5}x")).toDF("k2", "n2")
+    val mapping = Seq(MatchColumn("n1", "n2", "levenshtein", 1.0))
+    def run(o: MatchOptions) = Matching.candidates(s1, s2, "k1", "k2", mapping, o)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = MatchOptions(blockingStrategies = Seq("first_char", "three_gram"),
+      cartesianFallbackLimit = 0)
+    val unsalted = run(base.copy(saltBuckets = 1))
+    val salted = run(base.copy(saltThreshold = 3, saltBuckets = 4))
+    assert(salted.nonEmpty && salted == unsalted)
+  }
+
   test("candidate cap: fallback ladder keeps the best key group, truncate keeps lowest ids") {
     // probe "abc" shares 3gram with exactly one master row and
     // first_char with three more; cap of 2 must keep the 3gram hit
