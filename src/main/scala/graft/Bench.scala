@@ -235,14 +235,13 @@ object Bench {
          |JW/token-set scoring, best-match): **$tMatch%.1f s** at $CoresMax
          |cores with the perfect-match shortcut (both engines' default —
          |the fixture is two identical copies), **$tMatchScored%.1f s** with
-         |the shortcut off (full candidate join + scoring, hot blocking
-         |keys salted across tasks).
+         |the shortcut off (full candidate join + scoring).
          |
          |Per-query seconds at $CoresMax cores (sf dir `$sfDir`):
          |
          || query | sec |
          ||---|---|
-         |${perQuery.map { case (k, v) => f"| $k | $v%.2f |" }.mkString("\n")}
+         |${perQuery.map { case (k, v) => f"| $k | $v%.2f |" }.mkString("\n|")}
          |""".stripMargin
     Files.writeString(Paths.get("BENCH.md"), md)
   }

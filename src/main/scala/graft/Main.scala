@@ -113,9 +113,24 @@ object Main {
           else src.columns.filterNot(_ == idCol).toSeq.map(col)
         val textCol = concat_ws(" ", clusterCols: _*)
         val withText = src.withColumn("_cluster_text", textCol)
-        val out = Dedup.nearDupClusters(withText, idCol, "_cluster_text",
-          DedupConfig(threshold = cc.threshold, exactVerify = true))
-          .drop("_cluster_text")
+        val out = (if (cc.useBlocking)
+          // LSH-banded candidates + exact verify; max_block_size maps
+          // to the band-bucket guard (reference skips oversized blocks,
+          // clusterer.py:409)
+          Dedup.nearDupClusters(withText, idCol, "_cluster_text",
+            DedupConfig(threshold = cc.threshold, exactVerify = true,
+              maxBandBucket = if (cc.skipHighCardinality) cc.maxBlockSize else 0))
+        else {
+          // use_blocking=false (clusterer.py:443): ALL-pairs exact
+          // semantics. The shared-gram equi-join IS all-pairs for any
+          // threshold > 0 — a pair with jaccard >= t shares >= 1 gram —
+          // without the reference's literal O(n^2) loop.
+          val edges = Dedup.ngramJaccardPairs(withText, idCol, "_cluster_text",
+              n = graft.dedup.DedupConfigDefaults.ShingleK, threshold = cc.threshold)
+            .select($"id1".as("u"), $"id2".as("v"))
+          graft.dedup.ConnectedComponents.assign(
+            withText.withColumn(idCol, col(idCol).cast("long")), idCol, edges)
+        }).drop("_cluster_text")
         Sources.write(out, cfg.output)
         if (cc.generateSummary)
           Sources.write(Sources.clusterSummary(out),
@@ -131,7 +146,12 @@ object Main {
         val id2 = s2.columns.head
         val out = Matching.matchTables(s1, s2, id1, id2, mapping,
           MatchOptions(mc.threshold, mc.undecidedRange, mc.blockingStrategies,
-            mc.returnAllMatches))
+            mc.returnAllMatches,
+            maxBlockSize = mc.maxBlockSize,
+            skipHighCardinality = mc.skipHighCardinality,
+            maxCandidates = mc.maxCandidates,
+            candidateTrimStrategy = mc.candidateTrimStrategy,
+            earlyTermination = mc.earlyTermination))
         Sources.write(out, cfg.output)
     }
   }

@@ -45,13 +45,26 @@ final case class MatchSettings(
     threshold: Double = 0.75,
     undecidedRange: Double = 0.05,
     returnAllMatches: Boolean = false,
-    blockingStrategies: Seq[String] = Seq("first_char", "three_gram", "last_three"))
+    blockingStrategies: Seq[String] = Seq("first_char", "three_gram", "last_three"),
+    /** matcher knobs, same keys + defaults as the reference
+      * (matcher.py:390-400): max_block_size / skip_high_cardinality /
+      * max_candidates / candidate_trim_strategy / early_termination
+      */
+    maxBlockSize: Int = 0,
+    skipHighCardinality: Boolean = true,
+    maxCandidates: Int = 0,
+    candidateTrimStrategy: String = "truncate",
+    earlyTermination: Boolean = true)
 
 final case class ClusterSettings(
     columns: Seq[ColumnMapping] = Nil,
     threshold: Double = 0.75,
     generateSummary: Boolean = false,
-    blockingStrategies: Seq[String] = Seq("first_char", "three_gram", "last_three"))
+    blockingStrategies: Seq[String] = Seq("first_char", "three_gram", "last_three"),
+    /** clusterer knobs (clusterer.py:180-187) */
+    useBlocking: Boolean = true,
+    maxBlockSize: Int = 0,
+    skipHighCardinality: Boolean = true)
 
 final case class JobConfig(
     mode: String,
@@ -148,7 +161,12 @@ object JobConfig {
       undecidedRange = boundedNumber(n, "undecided_range", 0.05),
       returnAllMatches = if (n.has("return_all_matches")) n.get("return_all_matches").asBoolean
         else false,
-      blockingStrategies = strategies(n))
+      blockingStrategies = strategies(n),
+      maxBlockSize = intOr(n, "max_block_size", 0),
+      skipHighCardinality = boolOr(n, "skip_high_cardinality", true),
+      maxCandidates = intOr(n, "max_candidates", 0),
+      candidateTrimStrategy = textOr(n, "candidate_trim_strategy", "truncate"),
+      earlyTermination = boolOr(n, "early_termination", true))
   }
 
   private def clusterSettings(n: JsonNode): ClusterSettings = {
@@ -158,8 +176,17 @@ object JobConfig {
       threshold = boundedNumber(n, "threshold", 0.75),
       generateSummary = if (n.has("generate_summary")) n.get("generate_summary").asBoolean
         else false,
-      blockingStrategies = strategies(n))
+      blockingStrategies = strategies(n),
+      useBlocking = boolOr(n, "use_blocking", true),
+      maxBlockSize = intOr(n, "max_block_size", 0),
+      skipHighCardinality = boolOr(n, "skip_high_cardinality", true))
   }
+
+  private def intOr(n: JsonNode, f: String, default: Int): Int =
+    if (n.has(f)) n.get(f).asInt else default
+
+  private def boolOr(n: JsonNode, f: String, default: Boolean): Boolean =
+    if (n.has(f)) n.get(f).asBoolean else default
 
   private def columns(n: JsonNode, requireSource2: Boolean): Seq[ColumnMapping] = {
     val arr = n.get("columns")

@@ -82,15 +82,14 @@ object Dedup {
     */
   def ensureParallel(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    // a file source with >= target files always scans wide enough (or
-    // Spark packed small files to >=128MB splits on purpose) — decide
-    // from the already-listed file index, no RDD conversion / second
-    // physical planning on the at-scale hot path. Few-file and
-    // non-file inputs (local fixtures) fall back to the exact check.
-    val files = df.inputFiles.length
-    if (files >= target) df
-    else if (df.rdd.getNumPartitions < target) df.repartition(target)
-    else df
+    // df.rdd here only BUILDS the RDD graph for the (trivial: callers
+    // pass the raw input) plan — no job runs, and it is the one exact
+    // source of the scan's split count. File-count shortcuts are wrong
+    // in both directions: Spark packs many small files into few splits
+    // (maxPartitionBytes bin-packing) and splits one big file into
+    // many. Driver-side planning cost is milliseconds; the guard's
+    // repartition decision governs whole-stage parallelism.
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
   // ------------------------------------------------------------ exact

@@ -22,6 +22,29 @@ class JobConfigSpec extends AnyFunSuite {
     assert(cfg.matchConfig.columns.head.source2.contains("full_name"))
   }
 
+  test("matcher/clusterer knobs parse with reference keys and defaults") {
+    val cfg = JobConfig.parse(
+      """{"source1": "a.csv", "source2": "b.csv", "output": "out.csv",
+        | "match_config": {"max_block_size": 500, "skip_high_cardinality": false,
+        |   "max_candidates": 100, "candidate_trim_strategy": "fallback",
+        |   "early_termination": false}}""".stripMargin)
+    assert(cfg.matchConfig.maxBlockSize == 500)
+    assert(!cfg.matchConfig.skipHighCardinality)
+    assert(cfg.matchConfig.maxCandidates == 100)
+    assert(cfg.matchConfig.candidateTrimStrategy == "fallback")
+    assert(!cfg.matchConfig.earlyTermination)
+    val cl = JobConfig.parse(
+      """{"mode": "clustering", "source1": "a.csv", "output": "o",
+        | "cluster_config": {"use_blocking": false, "max_block_size": 200}}""".stripMargin)
+    assert(!cl.clusterConfig.useBlocking)
+    assert(cl.clusterConfig.maxBlockSize == 200)
+    assert(cl.clusterConfig.skipHighCardinality)
+    // defaults (matcher.py:390-400)
+    val d = JobConfig.parse("""{"source1": "a.csv", "source2": "b.csv", "output": "o"}""")
+    assert(d.matchConfig.maxBlockSize == 0 && d.matchConfig.earlyTermination &&
+      d.matchConfig.candidateTrimStrategy == "truncate" && d.clusterConfig.useBlocking)
+  }
+
   test("mode dependency errors match the reference text") {
     val e1 = intercept[IllegalArgumentException] {
       JobConfig.parse("""{"mode": "clustering", "source1": "a.csv", "source2": "b.csv", "output": "o"}""")
