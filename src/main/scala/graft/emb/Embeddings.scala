@@ -15,13 +15,18 @@ import graft._
   */
 object Embeddings {
 
-  /** Dot product accumulated in double, sequential array order. */
+  /** Dot product accumulated in double, sequential array order —
+    * a codegen'd kernel (graft.sim.VecDot), bit-identical to the
+    * `aggregate(zip_with(...))` composition it replaced but without
+    * the per-pair 64-element array allocation (that allocation
+    * dominated the brute-force scorer: 2.5M pairs at sf0.1).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    org.apache.spark.sql.GraftColumnBridge.column(graft.sim.VecDot(
+      org.apache.spark.sql.GraftColumnBridge.expression(a),
+      org.apache.spark.sql.GraftColumnBridge.expression(b)))
 
-  def l2norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity; 0.0 when either vector has zero norm. */
   def cosine(a: Column, b: Column): Column = {
@@ -42,10 +47,17 @@ object Embeddings {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
+    // norms are per-ROW, not per-pair: compute them before the join so
+    // the pair projection does one dot product (norm values identical,
+    // so sim is bit-identical to cosine(_qv, _cv))
     val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("_qv"))
+      .withColumn("_qn", l2norm($"_qv"))
     val c = corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("_cv"))
+      .withColumn("_cn", l2norm($"_cv"))
     val scored = c.join(broadcast(q), $"query_id" =!= $"neighbor_id")
-      .select($"query_id", $"neighbor_id", cosine($"_qv", $"_cv").as("sim"))
+      .select($"query_id", $"neighbor_id",
+        when($"_qn" * $"_cn" === 0.0, 0.0)
+          .otherwise(dot($"_qv", $"_cv") / ($"_qn" * $"_cn")).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id".asc)
     scored.withColumn("rank", row_number().over(w)).where($"rank" <= k)

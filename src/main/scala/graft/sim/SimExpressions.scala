@@ -169,3 +169,44 @@ case class WinnowFingerprint(child: Expression, k: Int, window: Int)
   override def prettyName: String = "winnow_fingerprint"
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** Dot product of two same-length float/double arrays, accumulated in
+  * double, sequential order — the codegen'd replacement for
+  * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` (bit-identical values,
+  * no per-pair array allocation). Null on null input, length mismatch,
+  * or a null element (the zip_with composition's semantics).
+  */
+case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  private def isFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private def kernel: String =
+    if (isFloat) "graft.sim.VecKernels.dotF" else "graft.sim.VecKernels.dotD"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(a, _), ArrayType(b, _))
+          if a == b && (a == FloatType || a == DoubleType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"vec_dot needs two array<float> or two array<double>, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val v =
+      if (isFloat) VecKernels.dotF(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+      else VecKernels.dotD(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    if (v == null) null else v.doubleValue()
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tmp = ctx.freshName("vd")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double $tmp = $kernel($a, $b);
+      if ($tmp == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $tmp.doubleValue(); }""")
+  }
+  override def prettyName: String = "vec_dot"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

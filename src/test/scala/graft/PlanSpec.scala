@@ -56,6 +56,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Eval (fallback)"), p)
   }
 
+  test("vec_dot scorer stays inside whole-stage codegen (no eval fallback)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val df = graft.emb.Embeddings.bruteForceTopK(
+      e, e.where(col("vec_id") % 10 === 0), "vec_id", "embedding", 3)
+    df.collect() // materialize so AQE's toString shows the FINAL plan
+    val p = plan(df)
+    assert(p.contains("vec_dot"), p)
+    assert(p.contains("WholeStageCodegen") || p.contains("*("), p)
+    assert(!p.contains("Eval (fallback)"), p)
+  }
+
   test("search probe plans as scan-filter-TakeOrdered (no join, no global sort)") {
     val master = docs.select(col("doc_id"), col("text"))
     val hits = graft.matching.Matching.search(master, "doc_id",
