@@ -159,10 +159,11 @@ object Bench {
     val thrHi = nDocs / tHi
     val efficiency = (tLo / tHi) / (CoresHi.toDouble / CoresLo)
 
-    // ---- absolute-throughput headline at all threads
+    // ---- absolute-throughput headline at all threads (min-of-2, like
+    // every other timed metric: this host's identical-run spread is 2-3x)
     spark = session(CoresMax)
     warm(spark)
-    val tMax = time(dedupJob(spark, corpusPath))
+    val tMax = math.min(time(dedupJob(spark, corpusPath)), time(dedupJob(spark, corpusPath)))
     val thrMax = nDocs / tMax
 
     // ---- reference-workload match (10k x 10k, blocking on).
@@ -184,7 +185,7 @@ object Bench {
       "ann_topk", "text_stats", "q_lineitem_agg", "q_orders_best")
     val perQuery = headline.map { name =>
       val fn = SparkEntry.queries(name)
-      name -> time(fn(spark, sfDir).count())
+      name -> math.min(time(fn(spark, sfDir).count()), time(fn(spark, sfDir).count()))
     }
     spark.stop()
 

@@ -1,8 +1,7 @@
 package graft.io
 
-import java.nio.file.{Files, Path, Paths}
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import scala.jdk.CollectionConverters._
 
 /** Iceberg-shaped warehouse over plain Parquet: every table commits by
   * writing data files first and a `_manifest.json` last (the commit
@@ -10,6 +9,11 @@ import scala.jdk.CollectionConverters._
   * the checkpoint/resume + per-partition lineage semantics the north
   * rule asks for, behind a trait swappable for a real Iceberg catalog
   * (no Iceberg runtime jar ships in this environment; SURVEY §7.1).
+  *
+  * All metadata I/O goes through the Hadoop FileSystem API resolved
+  * from the root's scheme — the warehouse root can be file:/, hdfs:/ or
+  * s3a:/ exactly like the data writes (java.nio would silently pin the
+  * commit markers to the driver's local disk).
   *
   * Manifest records: snapshot id (content-derived, no wall clock),
   * parent snapshot, config fingerprint, row count, schema, and the
@@ -20,8 +24,12 @@ import scala.jdk.CollectionConverters._
   */
 final class Warehouse(val root: String, spark: SparkSession) {
 
-  private def dir(name: String): Path = Paths.get(root, name)
-  private def manifestPath(name: String): Path = dir(name).resolve("_manifest.json")
+  private val rootPath = new HPath(root)
+  private val fs: FileSystem =
+    rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def dir(name: String): HPath = new HPath(rootPath, name)
+  private def manifestPath(name: String): HPath = new HPath(dir(name), "_manifest.json")
 
   /** How many tables this instance actually built (vs resumed) —
     * observable resume behavior for tests.
@@ -31,10 +39,22 @@ final class Warehouse(val root: String, spark: SparkSession) {
   private val snapRe = """"snapshot": "([0-9a-f]+)"""".r
   private val parentSnapRe = """"parent_snapshot": (?:"([0-9a-f]+)"|null)""".r
 
+  private def readString(p: HPath): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  private def writeString(p: HPath, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** Committed snapshot id of a table, if any. */
   def snapshotOf(name: String): Option[String] =
-    if (!Files.exists(manifestPath(name))) None
-    else snapRe.findFirstMatchIn(Files.readString(manifestPath(name))).map(_.group(1))
+    if (!fs.exists(manifestPath(name))) None
+    else snapRe.findFirstMatchIn(readString(manifestPath(name))).map(_.group(1))
 
   /** A stage is resumable only if its fingerprint matches AND the
     * parent snapshot it was built from is still the parent's current
@@ -43,8 +63,8 @@ final class Warehouse(val root: String, spark: SparkSession) {
     * own fingerprint is unchanged.
     */
   def committed(name: String, fingerprint: String, parent: Option[String] = None): Boolean =
-    Files.exists(manifestPath(name)) && {
-      val m = Files.readString(manifestPath(name))
+    fs.exists(manifestPath(name)) && {
+      val m = readString(manifestPath(name))
       m.contains("\"fingerprint\": \"" + fingerprint + "\"") && {
         val recordedParent = parentSnapRe.findFirstMatchIn(m).flatMap(g => Option(g.group(1)))
         parent match {
@@ -54,7 +74,7 @@ final class Warehouse(val root: String, spark: SparkSession) {
       }
     }
 
-  def read(name: String): DataFrame = spark.read.parquet(dir(name).resolve("data").toString)
+  def read(name: String): DataFrame = spark.read.parquet(new HPath(dir(name), "data").toString)
 
   /** Resume point: reuse the committed table if its fingerprint
     * matches, else (re)build, commit, and read back (reading back means
@@ -65,8 +85,8 @@ final class Warehouse(val root: String, spark: SparkSession) {
     if (!committed(name, fingerprint, parent)) {
       buildCount += 1
       val d = dir(name)
-      if (Files.exists(d)) deleteRecursively(d)
-      val dataDir = d.resolve("data").toString
+      if (fs.exists(d)) fs.delete(d, true)
+      val dataDir = new HPath(d, "data").toString
       val writer = build.write.mode("overwrite")
       (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
         .parquet(dataDir)
@@ -76,13 +96,18 @@ final class Warehouse(val root: String, spark: SparkSession) {
   }
 
   private def commitManifest(name: String, fingerprint: String, parent: Option[String]): Unit = {
-    val dataDir = dir(name).resolve("data")
-    // recursive walk: partitioned tables nest files under key=value dirs;
-    // lineage records the partition-relative path of every data file
-    val files = Files.walk(dataDir).iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .map(p => (dataDir.relativize(p).toString, Files.size(p)))
-      .toSeq.sortBy(_._1)
+    val dataDir = new HPath(dir(name), "data")
+    // recursive listing: partitioned tables nest files under key=value
+    // dirs; lineage records the partition-relative path of every file
+    val it = fs.listFiles(dataDir, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val base = dataDir.toUri
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = base.relativize(st.getPath.toUri).getPath
+      if (rel.endsWith(".parquet")) buf += ((rel, st.getLen))
+    }
+    val files = buf.toSeq.sortBy(_._1)
     val rows = read(name).count()
     val schema = read(name).schema.json
     // content-derived snapshot id: stable across identical re-runs
@@ -104,7 +129,7 @@ final class Warehouse(val root: String, spark: SparkSession) {
          |  "files": $fileJson,
          |  "schema": $schema
          |}""".stripMargin
-    Files.writeString(manifestPath(name), json)
+    writeString(manifestPath(name), json)
   }
 
   /** Append a metrics row (stage, key, value) to the warehouse metrics
@@ -115,15 +140,10 @@ final class Warehouse(val root: String, spark: SparkSession) {
     import spark.implicits._
     val df = metrics.toSeq.sortBy(_._1).toDF("key", "value")
       .select(org.apache.spark.sql.functions.lit(stage).as("stage"), $"key", $"value")
-    df.write.mode("append").parquet(dir("_metrics").resolve("data").toString)
+    df.write.mode("append").parquet(new HPath(dir("_metrics"), "data").toString)
   }
 
   def metrics(): DataFrame = read("_metrics")
 
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p)) Files.list(p).iterator().asScala.foreach(deleteRecursively)
-    Files.deleteIfExists(p)
-  }
-
-  def drop(name: String): Unit = if (Files.exists(dir(name))) deleteRecursively(dir(name))
+  def drop(name: String): Unit = if (fs.exists(dir(name))) { fs.delete(dir(name), true); () }
 }
