@@ -198,6 +198,18 @@ object SparkEntry {
         .select($"query_id", $"neighbor_id")
     },
 
+    "ann_ivf_top1" -> { (s, dir) =>
+      // IVF tier, planted-duplicate probe: the query IS a corpus vector,
+      // so its nearest centroid equals its twin's assigned cell and
+      // nprobe=1 already covers it (exact-cosine verify finds the twin)
+      val e = t(s, dir, "embeddings")
+      val q = e.where($"vec_id" % 20 === 0)
+        .select(($"vec_id" + 100000).as("vec_id"), $"embedding")
+      graft.emb.IvfIndex.ivfTopK(e, q, "vec_id", "embedding",
+          k = 1, nlist = 16, nprobe = 4, iters = 3)
+        .select($"query_id", $"neighbor_id")
+    },
+
     // ------------------------------------------------------ text analysis
 
     "text_stats" -> { (s, dir) =>
@@ -609,6 +621,9 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, rk FROM r WHERE rk <= 5""".stripMargin,
 
     "ann_lsh_top1" ->
+      "SELECT CAST(vec_id+100000 AS BIGINT) AS query_id, vec_id AS neighbor_id FROM embeddings WHERE vec_id%20=0",
+
+    "ann_ivf_top1" ->
       "SELECT CAST(vec_id+100000 AS BIGINT) AS query_id, vec_id AS neighbor_id FROM embeddings WHERE vec_id%20=0",
 
     "text_stats" ->

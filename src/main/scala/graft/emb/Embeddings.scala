@@ -77,11 +77,13 @@ object Embeddings {
     * signatures; bucket join replaces the n^2 scan.
     */
   def rhpSignature(vec: Column, planes: Array[Array[Double]]): Column = {
+    // one float->double cast of the vector, then `bits` no-allocation
+    // vec_dot calls (the zip_with form allocated a fresh array per
+    // plane per row); per-plane sums are the same sequential double
+    // accumulation, so signatures are bit-identical
+    val dvec = transform(vec, x => x.cast("double"))
     val bits: Seq[Column] = planes.zipWithIndex.toSeq.map { case (p, i) =>
-      val d = aggregate(
-        zip_with(vec, typedLit(p.toSeq), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
-      when(d >= 0.0, lit(1L << i)).otherwise(lit(0L))
+      when(dot(dvec, typedLit(p.toSeq)) >= 0.0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
   }

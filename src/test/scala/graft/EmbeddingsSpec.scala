@@ -32,6 +32,27 @@ class EmbeddingsSpec extends AnyFunSuite {
     assert(z.select(Embeddings.cosine(col("a"), col("b"))).head().getDouble(0) == 0.0)
   }
 
+  test("IVF: assignment covers every row with a valid cell id") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = graft.emb.IvfIndex.train(e, "vec_id", "embedding", 8, 2, 42L)
+    assert(cents.count() == 8)
+    val cells = graft.emb.IvfIndex.assign(e, "vec_id", "embedding", cents)
+    assert(cells.count() == e.count())
+    val range = cells.agg(min(col("cid")), max(col("cid"))).head()
+    assert(range.getInt(0) >= 0 && range.getInt(1) < 8)
+  }
+
+  test("IVF: planted duplicate found at rank 1 (query vector == corpus vector)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.where(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val top1 = graft.emb.IvfIndex.ivfTopK(e, q, "vec_id", "embedding",
+        k = 1, nlist = 8, nprobe = 2, iters = 2)
+      .select(col("query_id"), col("neighbor_id")).collect()
+    assert(top1.nonEmpty)
+    assert(top1.forall(r => r.getLong(0) - 100000 == r.getLong(1)))
+  }
+
   test("brute-force top-k ranks deterministically with id tie-break") {
     val corpus = Seq(
       (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)),
