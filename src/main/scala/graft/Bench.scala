@@ -199,7 +199,7 @@ object Bench {
     // one interleave round at the big default corpus (the lo/hi RATIO
     // proved burst-robust: bursts inflate both levels of a round
     // together); two rounds when a small corpus keeps them cheap
-    val scalingRounds = if (nDocs >= 1500000) 1 else 2
+    val scalingRounds = if (nDocs >= 1000000) 1 else 2
     val runs = for (_ <- 1 to scalingRounds) yield
       (levelInSubJvm(CoresLo, corpusPath), levelInSubJvm(CoresHi, corpusPath))
     val tLo = runs.map(_._1).min
