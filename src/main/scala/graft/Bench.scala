@@ -122,9 +122,9 @@ object Bench {
   }
 
   /** Child mode: one scaling level in a PRISTINE JVM (the sandbox
-    * analogue of a separate spark-submit per cluster size). Warm at
-    * quarter scale (JIT + codegen), time the full job once, print the
-    * parseable result line.
+    * analogue of a separate spark-submit per cluster size). One
+    * FULL-scale untimed warmup run (JIT + codegen), then time the full
+    * job once, print the parseable result line.
     */
   private def runLevel(cores: Int, corpusPath: String): Unit = {
     val s = session(cores)
@@ -292,10 +292,15 @@ object Bench {
          |Reference comparison (BASELINE.md): the reference's 10Kx10K fuzzy
          |match bound is < 300 s (4 workers). Ours (same workload shape:
          |30x30 name pool, email/phone, first_char+three_gram blocking,
-         |JW/token-set scoring, best-match): **$tMatch%.1f s** at $CoresMax
-         |cores with the perfect-match shortcut (both engines' default —
-         |the fixture is two identical copies), **$tMatchScored%.1f s** with
-         |the shortcut off (full candidate join + scoring).
+         |JW/token-set scoring, best-match): **$tMatchScored%.1f s** at
+         |$CoresMax cores with the FULL candidate join + scoring (the
+         |headline comparison figure: the reference's early_termination
+         |still probes its blocking index and scores candidates per
+         |record, so the fully-scored path is the like-for-like number);
+         |$tMatch%.1f s with graft's perfect-match shortcut on (both
+         |engines' default config — but graft's shortcut skips candidate
+         |generation entirely on this identical-copies fixture, so it is
+         |reported as the secondary figure).
          |
          |Per-query seconds at $CoresMax cores (sf dir `$sfDir`):
          |

@@ -114,12 +114,17 @@ object Main {
         val textCol = concat_ws(" ", clusterCols: _*)
         val withText = src.withColumn("_cluster_text", textCol)
         val out = (if (cc.useBlocking)
-          // LSH-banded candidates + exact verify; max_block_size maps
-          // to the band-bucket guard (reference skips oversized blocks,
-          // clusterer.py:409)
+          // LSH-banded candidates + exact verify. max_band_bucket (or,
+          // absent that, max_block_size under skip_high_cardinality —
+          // the reference's oversized-block skip, clusterer.py:409)
+          // caps band buckets; candidate_mode=star selects the 100 TB
+          // hub-edge topology (config surface for DedupConfig's scale
+          // knobs — r2 VERDICT task 8)
           Dedup.nearDupClusters(withText, idCol, "_cluster_text",
             DedupConfig(threshold = cc.threshold, exactVerify = true,
-              maxBandBucket = if (cc.skipHighCardinality) cc.maxBlockSize else 0))
+              candidateMode = cc.candidateMode,
+              maxBandBucket = cc.maxBandBucket.getOrElse(
+                if (cc.skipHighCardinality) cc.maxBlockSize else 0)))
         else {
           // use_blocking=false (clusterer.py:443): ALL-pairs exact
           // semantics. The shared-gram equi-join IS all-pairs for any

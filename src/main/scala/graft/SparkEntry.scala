@@ -199,14 +199,19 @@ object SparkEntry {
     },
 
     "ann_ivf_top1" -> { (s, dir) =>
-      // IVF tier, planted-duplicate probe: the query IS a corpus vector,
-      // so its nearest centroid equals its twin's assigned cell and
-      // nprobe=1 already covers it (exact-cosine verify finds the twin)
+      // IVF tier through the PERSISTED index path: build once into a
+      // warehouse (centroids + cid-partitioned cells), then probe.
+      // Planted-duplicate truth: the query IS a corpus vector, so its
+      // nearest centroid equals its twin's assigned cell and nprobe=1
+      // already covers it (exact-cosine verify finds the twin).
       val e = t(s, dir, "embeddings")
       val q = e.where($"vec_id" % 20 === 0)
         .select(($"vec_id" + 100000).as("vec_id"), $"embedding")
-      graft.emb.IvfIndex.ivfTopK(e, q, "vec_id", "embedding",
-          k = 1, nlist = 16, nprobe = 4, iters = 3)
+      val wh = new graft.io.Warehouse(
+        java.nio.file.Files.createTempDirectory("ivf").toString, s)
+      graft.emb.IvfIndex.build(wh, e, "vec_id", "embedding",
+        nlist = 16, iters = 3)
+      graft.emb.IvfIndex.probe(wh, q, "vec_id", "embedding", k = 1, nprobe = 4)
         .select($"query_id", $"neighbor_id")
     },
 
@@ -718,12 +723,16 @@ object SparkEntry {
         |  CAST((n_frames-1)//3 + 1 AS BIGINT) AS n_sampled
         |FROM m""".stripMargin,
 
+    // outer CAST AS BIGINT on every sum: DuckDB sum(BIGINT) returns
+    // HUGEINT, which pandas coerces to float64 ('2562577.0'), while
+    // Spark emits int64 ('2562577') — identical values, different
+    // stringification, failed hash (root-caused in round 2's VERDICT)
     "q_lineitem_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
         |  count(*) AS n_rows,
-        |  sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))*100 AS BIGINT)) AS price_cents,
-        |  sum(CAST(CAST(l_discount AS DECIMAL(18,2))*100 AS BIGINT)) AS disc_pct_sum
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS price_cents,
+        |  CAST(sum(CAST(CAST(l_discount AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS disc_pct_sum
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
 
     "q_orders_best" ->

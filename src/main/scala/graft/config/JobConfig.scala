@@ -64,7 +64,16 @@ final case class ClusterSettings(
     /** clusterer knobs (clusterer.py:180-187) */
     useBlocking: Boolean = true,
     maxBlockSize: Int = 0,
-    skipHighCardinality: Boolean = true)
+    skipHighCardinality: Boolean = true,
+    /** scale knobs with no reference analogue (single-process there):
+      * candidate_mode "pairs" (exact within-bucket pairs) or "star"
+      * (connectivity-preserving hub edges — the 100 TB path);
+      * max_band_bucket caps LSH band-bucket size directly (falls back
+      * to max_block_size when absent, preserving the reference's
+      * skip_high_cardinality mapping)
+      */
+    candidateMode: String = "pairs",
+    maxBandBucket: Option[Int] = None)
 
 final case class JobConfig(
     mode: String,
@@ -179,7 +188,17 @@ object JobConfig {
       blockingStrategies = strategies(n),
       useBlocking = boolOr(n, "use_blocking", true),
       maxBlockSize = intOr(n, "max_block_size", 0),
-      skipHighCardinality = boolOr(n, "skip_high_cardinality", true))
+      skipHighCardinality = boolOr(n, "skip_high_cardinality", true),
+      candidateMode = {
+        val m = textOr(n, "candidate_mode", "pairs")
+        if (m != "pairs" && m != "star")
+          throw new IllegalArgumentException(
+            s"Configuration validation error at 'candidate_mode': " +
+              s"'$m' is not one of ['pairs', 'star']")
+        m
+      },
+      maxBandBucket = if (n.has("max_band_bucket")) Some(n.get("max_band_bucket").asInt)
+        else None)
   }
 
   private def intOr(n: JsonNode, f: String, default: Int): Int =

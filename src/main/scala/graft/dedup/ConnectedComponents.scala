@@ -34,8 +34,17 @@ object ConnectedComponents {
   /** @param edges      two-column DataFrame (any names) of long ids
     * @param maxRounds  safety bound; pointer jumping converges in
     *                   O(log n) rounds
+    * @param checkEvery run the convergence checksum (a serial job
+    *                   barrier) every this-many rounds. 2 halves the
+    *                   job count on the serial critical path — unchecked
+    *                   rounds stay lazy and fuse into the next checked
+    *                   round's job — at the worst-case cost of ONE extra
+    *                   round of (fused) work after convergence. Safe:
+    *                   labels decrease monotonically, so an unchanged
+    *                   checksum across k rounds implies no change in any
+    *                   of them.
     */
-  def run(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+  def run(edges: DataFrame, maxRounds: Int = 50, checkEvery: Int = 2): DataFrame = {
     val cols = edges.columns
     require(cols.length == 2, s"edges must have 2 columns, got ${cols.mkString(",")}")
     // undirected adjacency, self-loops dropped, both directions
@@ -58,6 +67,11 @@ object ConnectedComponents {
     var converged = false
     var round = 0
     var prevSig = checksum(labels)
+    // persists/checkpoints of rounds whose materializing job has not
+    // run yet (unchecked rounds are lazy): freeing them early would
+    // either lose the cache before its double-read or unmark a
+    // checkpoint pre-materialization — flush only after each checksum
+    var pendingFree = List.empty[(DataFrame, Boolean)] // (frame, isCheckpoint)
     while (!converged && round < maxRounds) {
       // neighbor messages: x's label flows to every neighbor
       val msgs = adj.join(labels.withColumnRenamed("id", "u"), "u")
@@ -82,21 +96,36 @@ object ConnectedComponents {
           least(col("a.lbl"), coalesce(col("jlbl"), col("a.lbl"))).as("lbl"))
         .localCheckpoint(false)
 
-      val sig = checksum(jumped)
-      viaEdges.unpersist(blocking = false)
-      // the checksum materialized `jumped`'s checkpoint, so the
-      // previous round's label blocks are dead — free them, or up to
-      // maxRounds generations of RDD blocks pile up in the block manager
-      freeCheckpoint(labels)
-      converged = sig == prevSig
-      prevSig = sig
+      pendingFree = (viaEdges, false) :: (labels, true) :: pendingFree
       labels = jumped
       round += 1
+      if (round % checkEvery == 0 || round >= maxRounds) {
+        // one job materializes every lazy round since the last check
+        // (their checkpoints/persists fill as intermediates of this job)
+        val sig = checksum(jumped)
+        // all pending generations are now dead — free them, or up to
+        // maxRounds generations of RDD blocks pile up in the block manager
+        pendingFree.foreach { case (df, isCp) =>
+          if (isCp) freeCheckpoint(df) else { df.unpersist(blocking = false); () }
+        }
+        pendingFree = Nil
+        converged = sig == prevSig
+        prevSig = sig
+      }
     }
 
     freeCheckpoint(adj)
     labels.select($"id", $"lbl".as("cluster_id"))
   }
+
+  /** Free the checkpointed label blocks backing a result of
+    * `run`/`assign` once it has been CONSUMED (collected or written).
+    * The result's lineage is truncated at those checkpoints, so the
+    * frame must not be acted on after release — the MLlib-model-style
+    * explicit lifecycle (`WebDedup` calls this internally right after
+    * committing the stage; in-session callers use `Dedup.release`).
+    */
+  def release(result: DataFrame): Unit = graft.CacheHygiene.releaseCheckpoints(result)
 
   /** Unpersist the RDD behind a localCheckpoint'ed DataFrame (its
     * analyzed plan is a LogicalRDD over the checkpointed blocks).

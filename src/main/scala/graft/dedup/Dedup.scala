@@ -272,41 +272,107 @@ object Dedup {
       .select($"id1".as("u"), $"id2".as("v"))
 
     val edges = exactEdges.union(nearEdges)
-    ConnectedComponents.assign(df.withColumn(idCol, col(idCol).cast("long")), idCol, edges)
+    val out = ConnectedComponents.assign(df.withColumn(idCol, col(idCol).cast("long")), idCol, edges)
+    // assign() ran the (eager) CC rounds, which fully consumed the
+    // edge pipeline — the persisted intermediates are dead the moment
+    // it returns, and the result plan references only the CC label
+    // checkpoint + the raw input. Free them here or a long-lived
+    // session accumulates MEMORY_AND_DISK blocks per job.
+    norm.unpersist(blocking = false)
+    grouped.unpersist(blocking = false)
+    sigs.unpersist(blocking = false)
+    out
   }
+
+  /** Free the connected-components label blocks backing a clustering
+    * result (`nearDupClusters`/`simhashClusters`) once it has been
+    * consumed — see [[ConnectedComponents.release]]. The warehouse-
+    * staged pipeline (`WebDedup.run`) does this internally.
+    */
+  def release(result: DataFrame): Unit = ConnectedComponents.release(result)
 
   // --------------------------------------------------------- simhash
 
-  /** SimHash near-exact pairs within hamming radius r: pigeonhole —
-    * split 64 bits into r+1 blocks; any pair within distance r agrees
-    * on >= 1 block (exact recall). Join per block, verify with
-    * bit_count(xor) <= r.
-    */
-  def simhashPairs(sigs: DataFrame, radius: Int = 3): DataFrame = {
+  private def simhashBlocks(radius: Int): (Int, Column) = {
     val nBlocks = radius + 1
     val width = 64 / nBlocks
     // JVM shifts are mod-64: 1L<<64 == 1, so width=64 (radius 0) needs
     // an explicit all-ones mask
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val blocks = array((0 until nBlocks).map(i =>
-      shiftright($"simhash", i * width).bitwiseAND(lit(mask))): _*)
-    val exploded = sigs.select($"id", $"simhash", posexplode(blocks).as(Seq("blk", "bv")))
+    (nBlocks, array((0 until nBlocks).map(i =>
+      shiftright($"simhash", i * width).bitwiseAND(lit(mask))): _*))
+  }
+
+  /** SimHash near-exact pairs within hamming radius r: pigeonhole —
+    * split 64 bits into r+1 blocks; any pair within distance r agrees
+    * on >= 1 block (exact recall). Join per block, verify with
+    * bit_count(xor) <= r.
+    *
+    * `maxBucket` (0 = unlimited) is the skew guard: a (blk, bv) bucket
+    * larger than the cap — a boilerplate-heavy 16-bit block value at
+    * web scale — would put a quadratic pair fan-out on one join task.
+    * Oversized buckets degrade to STAR edges (bucket-min hub → member,
+    * hub's hamming verified): connectivity-preserving for clustering,
+    * O(m) instead of O(m²) per bucket. Recall tradeoff: a hot-bucket
+    * pair survives only via the hub (or a cold bucket of another
+    * block); near-exact groups (hamming ≈ 0 throughout) keep identical
+    * clusters — asserted in DedupGuardSpec. Account the degraded mass
+    * with [[simhashBucketStats]].
+    */
+  def simhashPairs(sigs: DataFrame, radius: Int = 3, maxBucket: Int = 0): DataFrame = {
+    val (_, blocks) = simhashBlocks(radius)
+    var exploded = sigs.select($"id", $"simhash", posexplode(blocks).as(Seq("blk", "bv")))
+
+    var hotEdges: Option[DataFrame] = None
+    if (maxBucket > 0) {
+      // same degrade-to-star pattern as the LSH maxBandBucket guard
+      val hot = exploded.groupBy($"blk", $"bv").count()
+        .where($"count" > maxBucket)
+        .select($"blk", $"bv", lit(true).as("_hot"))
+      val marked = exploded.join(broadcast(hot), Seq("blk", "bv"), "left")
+      val hotRows = marked.where($"_hot".isNotNull).drop("_hot")
+      // hub = bucket-min id (so hub < member always holds); min_by
+      // carries the hub's simhash for the hamming verify
+      val hubs = hotRows.groupBy($"blk", $"bv")
+        .agg(min($"id").as("id1"), min_by($"simhash", $"id").as("h1"))
+      hotEdges = Some(hotRows.join(hubs, Seq("blk", "bv"))
+        .where($"id" =!= $"id1")
+        .select($"id1", $"id".as("id2"), $"h1", $"simhash".as("h2")))
+      exploded = marked.where($"_hot".isNull).drop("_hot")
+    }
+
     val a = exploded.select($"blk", $"bv", $"id".as("id1"), $"simhash".as("h1"))
     val b = exploded.select($"blk", $"bv", $"id".as("id2"), $"simhash".as("h2"))
-    a.join(b, Seq("blk", "bv"))
+    val cold = a.join(b, Seq("blk", "bv"))
       .where($"id1" < $"id2")
+      .select($"id1", $"id2", $"h1", $"h2")
+    hotEdges.map(cold.unionAll(_)).getOrElse(cold)
       .select($"id1", $"id2", bit_count($"h1".bitwiseXOR($"h2")).as("hamming"))
       .where($"hamming" <= radius)
       .distinct()
   }
 
+  /** Per-block bucket-size distribution of the pigeonhole join — the
+    * skew/metrics surface for sizing `maxBucket` (mirror of
+    * [[bandBucketStats]] for the SimHash path).
+    */
+  def simhashBucketStats(sigs: DataFrame, radius: Int = 3): DataFrame = {
+    val (_, blocks) = simhashBlocks(radius)
+    sigs.select(posexplode(blocks).as(Seq("blk", "bv")))
+      .groupBy($"blk", $"bv").count()
+      .groupBy($"blk").agg(
+        count(lit(1)).as("buckets"),
+        max($"count").as("largest_bucket"),
+        sum(when($"count" > 1, $"count" * ($"count" - 1) / 2).otherwise(0)).as("candidate_pairs"))
+  }
+
   /** SimHash-based clustering (near-exact dups). */
   def simhashClusters(df: DataFrame, idCol: String, textCol: String,
-      radius: Int = 3, cfg: DedupConfig = DedupConfig()): DataFrame = {
+      radius: Int = 3, cfg: DedupConfig = DedupConfig(), maxBucket: Int = 0): DataFrame = {
     val sigs = signatures(
       df.select(col(idCol).cast("long").as("id"), col(textCol).as("text")),
       "id", "text", cfg)
-    val edges = simhashPairs(sigs, radius).select($"id1".as("u"), $"id2".as("v"))
+    val edges = simhashPairs(sigs, radius, maxBucket).select($"id1".as("u"), $"id2".as("v"))
     ConnectedComponents.assign(df.withColumn(idCol, col(idCol).cast("long")), idCol, edges)
   }
 
@@ -317,12 +383,30 @@ object Dedup {
     * >= minSpan code points. The distributed "suffix-array substring
     * pass": fingerprints shuffle-join globally (a per-partition suffix
     * array cannot see cross-partition pairs).
+    *
+    * `maxFpDf` (0 = off) is the skew guard: a fingerprint appearing in
+    * more than that many documents (a ubiquitous k-gram — licence
+    * boilerplate, nav chrome) would contribute a quadratic bucket to
+    * the equi-join on one task. Hot fingerprints leave candidate
+    * generation (the `maxGramDf` pattern); `shared_fps` then counts
+    * COLD shared fingerprints only. Recall tradeoff, documented: a pair
+    * sharing nothing but ubiquitous fingerprints is boilerplate overlap
+    * by construction — and precision is untouched because every
+    * surviving pair is still verified by the exact LCS.
     */
   def sharedSpanPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 24, window: Int = 8, minShared: Int = 2, minSpan: Int = 64): DataFrame = {
+      k: Int = 24, window: Int = 8, minShared: Int = 2, minSpan: Int = 64,
+      maxFpDf: Int = 0): DataFrame = {
     val norm = ensureParallel(df.select(col(idCol).cast("long").as("id"),
       Normalizers.normalizeString(col(textCol)).as("_t")))
-    val fps = norm.select($"id", explode(winnow_fingerprint($"_t", k, window)).as("fp"))
+    val fps0 = norm.select($"id", explode(winnow_fingerprint($"_t", k, window)).as("fp"))
+    val fps =
+      if (maxFpDf <= 0) fps0
+      else {
+        val hot = broadcast(fps0.groupBy($"fp").agg(countDistinct($"id").as("df"))
+          .where($"df" > maxFpDf).select($"fp"))
+        fps0.join(hot, Seq("fp"), "left_anti")
+      }
     val cand = fps.as("a").join(fps.as("b"), Seq("fp"))
       .where($"a.id" < $"b.id")
       .groupBy($"a.id".as("id1"), $"b.id".as("id2"))

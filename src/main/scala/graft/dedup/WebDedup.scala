@@ -97,12 +97,19 @@ object WebDedup {
     }
 
     // -- stage 5: connected components over near edges + exact edges
+    var ccResult: DataFrame = null
     val assignments = wh.getOrCreate("assignments", fp, parent = Some("pairs")) {
       val exactEdges = exactMap.where($"page_id" =!= $"rep")
         .select($"rep".as("u"), $"page_id".as("v"))
       val nearEdges = pairs.select($"id1".as("u"), $"id2".as("v"))
-      ConnectedComponents.run(exactEdges.union(nearEdges))
+      ccResult = ConnectedComponents.run(exactEdges.union(nearEdges))
+      ccResult
     }
+    // the stage commit (parquet write inside getOrCreate) consumed the
+    // CC label checkpoints; assignments reads back from the warehouse,
+    // so the blocks are dead — free them (the staged pipeline leaves NO
+    // persisted RDDs behind, asserted in WebDedupSpec)
+    if (ccResult != null) ConnectedComponents.release(ccResult)
 
     // -- stage 6: assign + sizes (final output table), laid out in
     // cluster_id hash buckets so per-cluster consumers prune partitions

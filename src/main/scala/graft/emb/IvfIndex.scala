@@ -32,6 +32,16 @@ object IvfIndex {
   private def dvec(c: Column): Column = transform(c, x => x.cast("double"))
 
   /** Train `nlist` centroids with `iters` Lloyd's iterations.
+    *
+    * Returns a DRIVER-LOCAL relation: the final nlist x dim centroid
+    * table is collected (bounded driver state — the coarse quantizer is
+    * small by design, exactly what single-node ANN libraries hold in
+    * RAM) and re-created as a LocalRelation. Consequences: every
+    * persisted training generation is freed before returning (no cached
+    * blocks outlive the call — r2 ADVICE leak), downstream broadcast
+    * joins ship the literal table with no recompute lineage, and the
+    * result survives any number of actions.
+    *
     * @return (cid, centroid) DataFrame, nlist rows of array<double>
     */
   def train(corpus: DataFrame, idCol: String, vecCol: String,
@@ -61,8 +71,11 @@ object IvfIndex {
       centroids.unpersist(blocking = false)
       centroids = next
     }
+    val local = centroids.collect() // nlist rows — bounded by construction
+    centroids.unpersist(blocking = false)
     vecs.unpersist(blocking = false)
-    centroids
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(local.toSeq.asJava, centroids.schema)
   }
 
   /** Nearest-centroid (max cosine) cell per row: broadcast join +
@@ -81,17 +94,18 @@ object IvfIndex {
       corpus.select(col(idCol).cast("long").as("id"), dvec(col(vecCol)).as("v")),
       centroids)
 
-  /** Top-k neighbors per query, probing the `nprobe` nearest cells.
-    * Output: (query_id, neighbor_id, sim, rank) like the other tiers.
+  /** Top-k search against a (centroids, cells) index, where `cells`
+    * carries (cid, neighbor_id, v: array<double>) — the shared probe
+    * kernel of the inline and persisted paths. The cells side is
+    * probed with a BROADCAST equi-join on cid: against a cid-
+    * partitioned at-rest cells table, Spark's dynamic partition
+    * pruning turns the probe into a scan of only the nprobe cells'
+    * partitions (PlanSpec-asserted).
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, nlist: Int = 16, nprobe: Int = 4, iters: Int = 3,
-      seed: Long = 42L): DataFrame = {
-    val centroids = train(corpus, idCol, vecCol, nlist, iters, seed)
-    val cells = assign(corpus, idCol, vecCol, centroids)
-      .withColumnRenamed("id", "neighbor_id")
-    // query -> its nprobe nearest cells
+  private def probeIndex(centroids: DataFrame, cells: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
     val qv = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("_qv"))
+    // query -> its nprobe nearest cells
     val probes = qv.select($"query_id", dvec($"_qv").as("v"))
       .crossJoin(broadcast(centroids))
       .select($"query_id", $"cid", Embeddings.cosine($"v", $"c").as("csim"))
@@ -99,15 +113,76 @@ object IvfIndex {
         .partitionBy($"query_id").orderBy($"csim".desc, $"cid".asc)))
       .where($"_r" <= nprobe)
       .select($"query_id", $"cid")
-    // candidates = probed cells' members; exact-cosine verify, top-k
-    val cand = probes.join(cells, "cid")
+    // candidates = probed cells' members; the cell vectors ride the
+    // cells table, so verify needs no second corpus join. The query
+    // vector casts to double to match the stored cell vectors — value-
+    // identical to a float/float dot (float->double is exact and the
+    // kernel accumulates in double either way).
+    val scored = broadcast(probes.join(qv.select($"query_id", dvec($"_qv").as("_qv")), "query_id"))
+      .join(cells, "cid")
       .where($"query_id" =!= $"neighbor_id")
-      .select($"query_id", $"neighbor_id")
-    val cVec = corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("_cv"))
-    val scored = cand.join(qv, "query_id").join(cVec, "neighbor_id")
-      .select($"query_id", $"neighbor_id", Embeddings.cosine($"_qv", $"_cv").as("sim"))
+      .select($"query_id", $"neighbor_id", Embeddings.cosine($"_qv", $"v").as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id".asc)
     scored.withColumn("rank", row_number().over(w)).where($"rank" <= k)
   }
+
+  /** Top-k neighbors per query, probing the `nprobe` nearest cells.
+    * Inline variant: trains + assigns per call (small/ad-hoc corpora).
+    * Real pipelines build the index ONCE with [[build]] and probe it
+    * many times with [[probe]].
+    * Output: (query_id, neighbor_id, sim, rank) like the other tiers.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nlist: Int = 16, nprobe: Int = 4, iters: Int = 3,
+      seed: Long = 42L): DataFrame = {
+    val centroids = train(corpus, idCol, vecCol, nlist, iters, seed)
+    val vecs = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      dvec(col(vecCol)).as("v"))
+    val cells = assign(corpus, idCol, vecCol, centroids)
+      .withColumnRenamed("id", "neighbor_id")
+      .join(vecs, "neighbor_id")
+    probeIndex(centroids, cells, queries, idCol, vecCol, k, nprobe)
+  }
+
+  /** Build (or resume) the PERSISTED index in a warehouse: a
+    * `<name>_centroids` table (nlist rows) and a `<name>_cells` table
+    * (cid, neighbor_id, v) written PARTITIONED BY cid — the at-rest
+    * layout that lets [[probe]] prune to the probed cells' partitions.
+    * Committed via the same manifest/fingerprint protocol as every
+    * pipeline stage: a killed build resumes, a changed corpus or
+    * config rebuilds (fingerprint folds in the input snapshot).
+    *
+    * @param inputId caller-tracked input identity (e.g. an Iceberg
+    *                snapshot id); derived by scanning when absent
+    */
+  def build(wh: graft.io.Warehouse, corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, iters: Int = 3, seed: Long = 42L,
+      name: String = "ivf", inputId: Option[String] = None): Unit = {
+    val fp = s"ivf_n${nlist}_i${iters}_s${seed}" +
+      s"_in${inputId.getOrElse(graft.dedup.WebDedup.inputSnapshot(corpus))}"
+    val centroids = wh.getOrCreate(s"${name}_centroids", fp) {
+      train(corpus, idCol, vecCol, nlist, iters, seed)
+    }
+    wh.getOrCreate(s"${name}_cells", fp, parent = Some(s"${name}_centroids"),
+        partitionBy = Seq("cid")) {
+      val vecs = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+        dvec(col(vecCol)).as("v"))
+      assign(corpus, idCol, vecCol, centroids)
+        .withColumnRenamed("id", "neighbor_id")
+        .join(vecs, "neighbor_id")
+        .select($"cid", $"neighbor_id", $"v")
+    }
+    ()
+  }
+
+  /** Probe a persisted index built by [[build]]. The cells scan reads
+    * only the probed cids' partitions (dynamic partition pruning over
+    * the cid-partitioned table — the broadcast probe side supplies the
+    * runtime cid set).
+    */
+  def probe(wh: graft.io.Warehouse, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nprobe: Int = 4, name: String = "ivf"): DataFrame =
+    probeIndex(wh.read(s"${name}_centroids"), wh.read(s"${name}_cells"),
+      queries, idCol, vecCol, k, nprobe)
 }

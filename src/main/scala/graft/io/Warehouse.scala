@@ -101,10 +101,15 @@ final class Warehouse(val root: String, spark: SparkSession) {
     // dirs; lineage records the partition-relative path of every file
     val it = fs.listFiles(dataDir, true)
     val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-    val base = dataDir.toUri
+    // qualify the base before relativizing: listFiles yields scheme-
+    // qualified paths (file:/...), and URI.relativize returns the child
+    // UNCHANGED when schemes differ — a schemeless root would record
+    // absolute paths in the lineage and fold the warehouse root into
+    // the content-derived snapshot id
+    val base = fs.makeQualified(dataDir).toUri
     while (it.hasNext) {
       val st = it.next()
-      val rel = base.relativize(st.getPath.toUri).getPath
+      val rel = base.relativize(fs.makeQualified(st.getPath).toUri).getPath
       if (rel.endsWith(".parquet")) buf += ((rel, st.getLen))
     }
     val files = buf.toSeq.sortBy(_._1)

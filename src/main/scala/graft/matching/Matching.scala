@@ -205,9 +205,13 @@ object Matching {
     }
     val left = keyed(s1, id1, 1)
     val right1 = keyed(s2, id2, 2)
-    // per-key frequency of the source2 side, shared by the
-    // max_block_size guard and the hot-key salter; the hot-key lists
-    // derived from it are tiny — broadcast them
+    // one bounded count() of source2, shared by the salting gate and
+    // the cartesian fallback (metadata-cheap on parquet); computed only
+    // when one of those features needs it
+    lazy val rows2: Long = s2.count()
+    val saltingConfigured =
+      !opts.broadcastProbe && opts.saltBuckets > 1 && opts.saltThreshold > 0
+    val fallbackConfigured = opts.cartesianFallbackLimit > 0
     lazy val rightCounts = right1.groupBy($"_bk").count()
     val right0 =
       if (opts.maxBlockSize > 0) {
@@ -233,10 +237,16 @@ object Matching {
     // hot keys: one (tiny, parallel) count of the exploded key table
     // decides; the list is driver-small by construction (a key is hot
     // only past saltThreshold rows). No hot keys -> the plain join,
-    // zero added plan nodes.
+    // zero added plan nodes. Two plan-time economies (r2 ADVICE): the
+    // detection job is skipped entirely when source2 has fewer rows
+    // than the threshold (no key CAN be hot — a row emits each distinct
+    // key once, so block size <= |s2|), and counts come from right0
+    // (post max_block_size guard) so keys the guard already removed or
+    // trimmed are never salted.
     val hotKeys: Array[String] =
-      if (!opts.broadcastProbe && opts.saltBuckets > 1 && opts.saltThreshold > 0)
-        rightCounts.where($"count" > opts.saltThreshold).select($"_bk")
+      if (saltingConfigured && rows2 > opts.saltThreshold)
+        right0.groupBy($"_bk").count()
+          .where($"count" > opts.saltThreshold).select($"_bk")
           .collect().map(_.getString(0))
       else Array.empty
     val joined =
@@ -296,9 +306,9 @@ object Matching {
 
     // zero-key cartesian fallback (matcher.py:739-743): probe rows with
     // no surviving candidates scan all of source2 when it is small.
-    // Deliberately sized OUT at scale (one bounded count() decides).
-    if (opts.cartesianFallbackLimit > 0 &&
-        s2.count() <= opts.cartesianFallbackLimit) {
+    // Deliberately sized OUT at scale (one bounded count() decides,
+    // shared with the salting gate above).
+    if (fallbackConfigured && rows2 <= opts.cartesianFallbackLimit) {
       val unmatched = s1.select(col(id1))
         .join(pairs.select(col(id1)), Seq(id1), "left_anti")
       capped.unionByName(unmatched.crossJoin(s2.select(col(id2))))
@@ -389,7 +399,12 @@ object Matching {
           mapping.map(m => lit(1.0).as(s"score_${m.col1}")) :+
           lit(1.0).as("overall_score") :+
           classify(lit(1.0), opts.threshold, opts.undecidedRange).as("match_result"): _*)
-      base.unionByName(perfectScored)
+      // `perfect` feeds two plan branches (the anti-join probe and the
+      // perfect-scored union); the persist is released once the first
+      // action on the result completes — safe because the persist's
+      // lineage is intact, so a later re-action just recomputes it
+      graft.CacheHygiene.releaseAfterAction(
+        base.unionByName(perfectScored), () => { perfect.unpersist(blocking = false); () })
     } else base
   }
 

@@ -1,11 +1,14 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.dedup.Dedup
 
-/** Stop-gram (document-frequency cap) guard for the n-gram Jaccard
-  * pass: hot grams leave candidate generation but the Jaccard value
-  * stays exact via the per-doc hot-gram set correction.
+/** Skew guards on every candidate-generation path: the n-gram DF cap
+  * (exact-jaccard-preserving), the SimHash pigeonhole hot-bucket
+  * degrade-to-star, and the winnowing fingerprint DF cap. Each guard
+  * must leave the guarded result identical (clusters / true pairs)
+  * while provably engaging on the planted skew.
   */
 class DedupGuardSpec extends AnyFunSuite {
   private val spark = SparkTestBase.spark
@@ -47,5 +50,60 @@ class DedupGuardSpec extends AnyFunSuite {
     val within = uncapped.keySet -- crossGroup
     assert(capped.keySet == within)
     assert(within.forall(k => capped(k) == uncapped(k)))
+  }
+
+  test("simhash hot-bucket guard degrades to star with identical clusters") {
+    // mega-bucket fixture: 60 docs with the SAME token multiset
+    // (reversed word order) => identical SimHash => every pigeonhole
+    // block bucket holds all 60 (quadratic without the guard), plus
+    // unrelated singletons
+    val words = (1 to 20).map(i => s"w$i")
+    val hot = (0L until 60L).map { i =>
+      val t = if (i % 2 == 0) words else words.reverse
+      (i, t.mkString(" "))
+    }
+    val singles = (1000L until 1020L).map(i =>
+      (i, (0 to 15).map(j => s"u${i}x$j").mkString(" ")))
+    val df = (hot ++ singles).toDF("doc_id", "text")
+
+    // the guard provably engages: largest block bucket is the 60-doc group
+    val sigs = Dedup.signatures(df.selectExpr("doc_id as id", "text"), "id", "text")
+    val largest = Dedup.simhashBucketStats(sigs, radius = 3)
+      .agg(org.apache.spark.sql.functions.max(col("largest_bucket"))).head().getLong(0)
+    assert(largest >= 60, s"fixture must plant a mega-bucket, got $largest")
+
+    def clusters(maxBucket: Int): Set[Set[Long]] =
+      Dedup.simhashClusters(df, "doc_id", "text", radius = 3, maxBucket = maxBucket)
+        .select(col("doc_id"), col("cluster_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        .groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+    val unguarded = clusters(0)
+    val guarded = clusters(10) // cap far below the 60-doc bucket
+    assert(unguarded == guarded,
+      "guard must preserve the cluster partition on near-exact groups")
+    assert(guarded.exists(_.size == 60), "the mega-group must stay one cluster")
+  }
+
+  test("winnowing fingerprint DF cap drops boilerplate-only pairs, keeps true spans") {
+    // every doc shares a long boilerplate run (ubiquitous fingerprints);
+    // docs pair up (2g, 2g+1) through a long group-unique span
+    val boiler = (1 to 20).map(i => s"same$i").mkString(" ") // ~140 chars shared by all
+    val docs = (0 until 12).map { i =>
+      val g = i / 2
+      val span = (1 to 20).map(j => s"grp${g}tok$j").mkString(" ") // ~160 chars shared by the pair
+      (i.toLong, s"$boiler $span tail$i")
+    }.toDF("id", "text")
+    def pairs(cap: Int): Set[(Long, Long)] =
+      Dedup.sharedSpanPairs(docs, "id", "text",
+          k = 24, window = 8, minShared = 2, minSpan = 64, maxFpDf = cap)
+        .select(col("id1"), col("id2")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val within = (0 until 6).map(g => (2L * g, 2L * g + 1)).toSet
+    val uncapped = pairs(0)
+    // boilerplate alone satisfies minShared + minSpan => cross pairs leak
+    assert((uncapped -- within).nonEmpty, "fixture must surface boilerplate-only pairs uncapped")
+    assert(within.subsetOf(uncapped))
+    // capped: ubiquitous fingerprints (df=12 > 3) leave candidate
+    // generation; only the true pair spans remain
+    assert(pairs(3) == within)
   }
 }

@@ -53,6 +53,55 @@ class EmbeddingsSpec extends AnyFunSuite {
     assert(top1.forall(r => r.getLong(0) - 100000 == r.getLong(1)))
   }
 
+  test("LSH recall@10 vs brute force >= 0.9 (pins the r2 tuning; was 0.75 in r1)") {
+    // the driver's random embeddings are the LOW-contrast hard case
+    // (top neighbors at cosine ~0.4); band/probe tuning must not
+    // silently regress below 0.9 — measured 1.0 in round 2
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.where(col("vec_id") % 10 === 0)
+    val bf = Embeddings.bruteForceTopK(e, q, "vec_id", "embedding", 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val lsh = Embeddings.lshTopK(e, q, "vec_id", "embedding", 10)
+      .select(col("query_id").as("q2"), col("neighbor_id").as("n2"))
+    val exact = bf.count()
+    val found = bf.join(lsh,
+      col("query_id") === col("q2") && col("neighbor_id") === col("n2"), "left_semi").count()
+    val recall = found.toDouble / exact
+    assert(recall >= 0.9, s"recall@10 regressed to $recall ($found/$exact)")
+  }
+
+  test("persisted IVF index: probe equals inline search and resumes without rebuild") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.where(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val root = java.nio.file.Files.createTempDirectory("ivf").toString
+    val wh1 = new graft.io.Warehouse(root, spark)
+    graft.emb.IvfIndex.build(wh1, e, "vec_id", "embedding", nlist = 8, iters = 2)
+    assert(wh1.buildCount == 2, "centroids + cells build on first run")
+    val persisted = graft.emb.IvfIndex.probe(wh1, q, "vec_id", "embedding", k = 1, nprobe = 2)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // planted-duplicate truth holds through the at-rest index
+    assert(persisted.nonEmpty)
+    assert(persisted.forall { case (qid, nid) => qid - 100000 == nid })
+    val inline = graft.emb.IvfIndex.ivfTopK(e, q, "vec_id", "embedding",
+        k = 1, nlist = 8, nprobe = 2, iters = 2)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(persisted == inline, "persisted probe must match the inline tier")
+
+    // resume: a second build against the same warehouse + input reuses
+    // both committed tables (manifest/fingerprint protocol)
+    val wh2 = new graft.io.Warehouse(root, spark)
+    graft.emb.IvfIndex.build(wh2, e, "vec_id", "embedding", nlist = 8, iters = 2)
+    assert(wh2.buildCount == 0, "resumed build must rebuild nothing")
+    // changed corpus invalidates (input snapshot folded into fingerprint)
+    val wh3 = new graft.io.Warehouse(root, spark)
+    graft.emb.IvfIndex.build(wh3, e.where(col("vec_id") =!= 1), "vec_id", "embedding",
+      nlist = 8, iters = 2)
+    assert(wh3.buildCount == 2, "changed input must rebuild the index")
+  }
+
   test("brute-force top-k ranks deterministically with id tie-break") {
     val corpus = Seq(
       (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)),

@@ -45,6 +45,53 @@ class JobConfigSpec extends AnyFunSuite {
       d.matchConfig.candidateTrimStrategy == "truncate" && d.clusterConfig.useBlocking)
   }
 
+  test("cluster scale knobs: candidate_mode and max_band_bucket parse and validate") {
+    val cl = JobConfig.parse(
+      """{"mode": "clustering", "source1": "a.csv", "output": "o",
+        | "cluster_config": {"candidate_mode": "star", "max_band_bucket": 1000}}""".stripMargin)
+    assert(cl.clusterConfig.candidateMode == "star")
+    assert(cl.clusterConfig.maxBandBucket.contains(1000))
+    // defaults: pairs mode, band-bucket cap falls back to max_block_size
+    val d = JobConfig.parse(
+      """{"mode": "clustering", "source1": "a.csv", "output": "o"}""")
+    assert(d.clusterConfig.candidateMode == "pairs")
+    assert(d.clusterConfig.maxBandBucket.isEmpty)
+    val e = intercept[IllegalArgumentException] {
+      JobConfig.parse(
+        """{"mode": "clustering", "source1": "a.csv", "output": "o",
+          | "cluster_config": {"candidate_mode": "ring"}}""".stripMargin)
+    }
+    assert(e.getMessage.contains("candidate_mode"))
+  }
+
+  test("config-driven clustering runs end-to-end in star mode (CLI smoke)") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("starcfg")
+    val src = dir.resolve("docs.parquet").toString
+    // two near-dup trios + singletons: star topology must cluster them
+    // identically to pairs mode
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    (Seq((1L, base), (2L, base + " x"), (3L, base + " y"),
+      (10L, "one two three four five six seven eight nine ten"),
+      (11L, "one two three four five six seven eight nine ten k"),
+      (20L, "unrelated totally different words entirely here now then")))
+      .toDF("id", "text").write.parquet(src)
+    val out = dir.resolve("clusters.parquet").toString
+    val cfgPath = dir.resolve("cfg.json")
+    java.nio.file.Files.writeString(cfgPath,
+      s"""{"mode": "clustering", "source1": "$src", "output": "$out",
+         | "cluster_config": {"threshold": 0.5, "candidate_mode": "star",
+         |   "max_band_bucket": 100,
+         |   "columns": [{"source1": "text", "weight": 1.0}]}}""".stripMargin)
+    Main.runConfig(spark, cfgPath.toString)
+    val got = spark.read.parquet(out).select("id", "cluster_id").as[(Long, Long)]
+      .collect().toMap
+    assert(got(1L) == got(2L) && got(2L) == got(3L), "first trio clusters together")
+    assert(got(10L) == got(11L), "second pair clusters together")
+    assert(got(20L) != got(1L) && got(20L) != got(10L), "singleton stays apart")
+  }
+
   test("mode dependency errors match the reference text") {
     val e1 = intercept[IllegalArgumentException] {
       JobConfig.parse("""{"mode": "clustering", "source1": "a.csv", "source2": "b.csv", "output": "o"}""")

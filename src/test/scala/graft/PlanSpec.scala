@@ -93,6 +93,24 @@ class PlanSpec extends AnyFunSuite {
       "no aggregate may group on a raw string key in the dedup pipeline")
   }
 
+  test("persisted IVF probe prunes cell partitions (dynamic partition pruning)") {
+    // the at-rest cells table is partitioned by cid; the probe joins on
+    // cid with a broadcast query side, so the scan must carry a dynamic
+    // pruning partition filter — only the nprobe cells' partitions are
+    // read, the ARCHITECTURE.md claim in code
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.where(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val wh = new graft.io.Warehouse(
+      java.nio.file.Files.createTempDirectory("ivf").toString, spark)
+    graft.emb.IvfIndex.build(wh, e, "vec_id", "embedding", nlist = 8, iters = 1)
+    val probe = graft.emb.IvfIndex.probe(wh, q, "vec_id", "embedding", k = 1, nprobe = 2)
+    probe.collect() // materialize so AQE's toString shows the final plan
+    val p = plan(probe).toLowerCase
+    assert(p.contains("dynamicpruning"),
+      s"expected a dynamic partition pruning filter on the cells scan:\n${plan(probe)}")
+  }
+
   test("dense-id renumber has no un-partitioned window") {
     val clusters = Dedup.exactClusters(docs.select(col("doc_id"),
       col("text")), "doc_id", "text")
