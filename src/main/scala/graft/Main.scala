@@ -9,20 +9,28 @@ import graft.io.Sources
 import graft.matching.{MatchOptions, Matching}
 
 /** spark-submit entry point with the reference CLI's surface
-  * (/root/reference/src/main.py:71-302):
+  * (/root/reference/main.py:71-302):
   *
   *   graft.Main --config cfg.json                   # matching/clustering
   *   graft.Main --search --master data.parquet \
   *              --query '{"name":"Bob"}' [--threshold 0.7] [--max-results 10]
+  *   graft.Main --setup                             # config wizard (main.py:11-69)
+  *   graft.Main --ui                                # job manager menu (cli_ui.py)
   *
-  * The job queue / REST service / interactive UI of the reference are
-  * orchestration, not engine semantics (SURVEY §2.12) — spark-submit
-  * plus warehouse checkpoints replace them.
+  * The job queue / REST service of the reference are orchestration,
+  * not engine semantics (SURVEY §2.12) — spark-submit plus warehouse
+  * checkpoints replace them.
   */
 object Main {
 
   def main(args: Array[String]): Unit = {
     val opts = parseArgs(args.toList)
+    if (opts.contains("setup")) {
+      // config wizard needs no Spark session (main.py:130-131)
+      Cli.setupConfig(new java.io.BufferedReader(
+        new java.io.InputStreamReader(System.in)), System.out)
+      return
+    }
     val builder = SparkSession.builder()
       .appName("graft")
       .config("spark.sql.shuffle.partitions",
@@ -38,7 +46,10 @@ object Main {
     graft.functions.registerAll(spark)
 
     try {
-      if (opts.contains("search")) runSearch(spark, opts)
+      if (opts.contains("ui"))
+        Cli.ui(new java.io.BufferedReader(
+          new java.io.InputStreamReader(System.in)), System.out, spark)
+      else if (opts.contains("search")) runSearch(spark, opts)
       else runConfig(spark, opts("config"), opts)
     } finally spark.stop()
   }
@@ -143,12 +154,23 @@ object Main {
 
       case _ => // matching
         val s1 = Sources.read(spark, cfg.source1.get)
-        val s2 = Sources.read(spark, cfg.source2.get)
+        val s2raw = Sources.read(spark, cfg.source2.get)
         val mc = cfg.matchConfig
-        val mapping = ColumnAnalyzer.analyzeColumns(s1, s2,
-          mc.columns.map(c => (c.source1, c.source2.getOrElse(c.source1), c.weight)))
         val id1 = s1.columns.head
-        val id2 = s2.columns.head
+        // both sources usually carry the same id column name (two CSVs
+        // with an `id` header) — disambiguate the source2 key or every
+        // candidate/score join is ambiguous
+        val (s2, id2) =
+          if (s2raw.columns.head == id1)
+            (s2raw.withColumnRenamed(id1, s"${id1}_2"), s"${id1}_2")
+          else (s2raw, s2raw.columns.head)
+        // auto-pairing must not score the id join keys against each
+        // other (same exclusion as the reference's analyzer fixtures)
+        val mapping =
+          if (mc.columns.nonEmpty)
+            ColumnAnalyzer.analyzeColumns(s1, s2,
+              mc.columns.map(c => (c.source1, c.source2.getOrElse(c.source1), c.weight)))
+          else ColumnAnalyzer.analyzeColumns(s1.drop(id1), s2.drop(id2))
         val out = Matching.matchTables(s1, s2, id1, id2, mapping,
           MatchOptions(mc.threshold, mc.undecidedRange, mc.blockingStrategies,
             mc.returnAllMatches,
@@ -176,12 +198,15 @@ object Main {
     def loop(rest: List[String], acc: Map[String, String]): Map[String, String] = rest match {
       case Nil => acc
       case "--search" :: t => loop(t, acc + ("search" -> "true"))
+      case "--setup" :: t => loop(t, acc + ("setup" -> "true"))
+      case "--ui" :: t => loop(t, acc + ("ui" -> "true"))
       case k :: v :: t if k.startsWith("--") => loop(t, acc + (k.stripPrefix("--") -> v))
       case other :: _ => throw new IllegalArgumentException(s"unexpected argument: $other")
     }
     val m = loop(args, Map.empty)
-    require(m.contains("config") || m.contains("search"),
-      "usage: graft.Main --config cfg.json | --search --master PATH --query JSON")
+    require(m.contains("config") || m.contains("search") ||
+        m.contains("setup") || m.contains("ui"),
+      "usage: graft.Main --config cfg.json | --search --master PATH --query JSON | --setup | --ui")
     m
   }
 }

@@ -127,11 +127,16 @@ object JobConfig {
     if (!resolved.has("output"))
       throw new IllegalArgumentException("Configuration validation error at 'output': required")
 
+    // reference-style top-level mysql_credentials
+    // (config_validator.py:71-77; --setup writes this shape): a STRING
+    // source is then a MySQL table unless it looks like a file — same
+    // heuristic as data_loader._is_mysql_table (data_loader.py:54-66)
+    val creds = Option(resolved.get("mysql_credentials"))
     JobConfig(
       mode = mode,
-      source1 = if (has1) Some(sourceSpec(resolved.get("source1"))) else None,
-      source2 = if (has2) Some(sourceSpec(resolved.get("source2"))) else None,
-      output = sourceSpec(resolved.get("output")),
+      source1 = if (has1) Some(sourceSpec(resolved.get("source1"), creds)) else None,
+      source2 = if (has2) Some(sourceSpec(resolved.get("source2"), creds)) else None,
+      output = sourceSpec(resolved.get("output"), None),
       matchConfig = matchSettings(resolved.get("match_config")),
       clusterConfig = clusterSettings(resolved.get("cluster_config")))
   }
@@ -145,9 +150,22 @@ object JobConfig {
 
   // ------------------------------------------------------------ pieces
 
-  private def sourceSpec(n: JsonNode): SourceSpec =
-    if (n.isTextual) SourceSpec(path = Some(n.asText()))
-    else {
+  private def isFileLike(s: String): Boolean =
+    s.startsWith("s3://") || s.startsWith("s3a://") ||
+      s.endsWith(".csv") || s.endsWith(".parquet") || s.endsWith(".json") ||
+      java.nio.file.Files.exists(java.nio.file.Paths.get(s))
+
+  private def sourceSpec(n: JsonNode, creds: Option[JsonNode] = None): SourceSpec =
+    if (n.isTextual) {
+      val s = n.asText()
+      creds match {
+        case Some(c) if !isFileLike(s) =>
+          SourceSpec(table = Some(s),
+            host = opt(c, "host"), user = opt(c, "user"),
+            password = opt(c, "password"), database = opt(c, "database"))
+        case _ => SourceSpec(path = Some(s))
+      }
+    } else {
       if (!n.has("table"))
         throw new IllegalArgumentException(
           "Configuration validation error at 'source': 'table' is a required property")

@@ -26,8 +26,12 @@ import graft._
   * Skew: a hot component floods its min label to all members — both
   * the message groupBy and the jump join aggregate map-side (partial
   * min), so hot labels reduce before the shuffle; AQE handles residual
-  * join skew. Lineage is truncated every round via lazy localCheckpoint
-  * (materialized by the convergence checksum — one job per round).
+  * join skew. Lineage is truncated every round via lazy localCheckpoint,
+  * materialized by the convergence check — which runs every
+  * `checkEvery` rounds (unchecked rounds fuse into the next check's
+  * job) and counts the latest round's ACTUAL label changes (the prior
+  * label rides the round aggregation), so convergence is detected at
+  * the first check after the fixpoint with no confirm-round waste.
   */
 object ConnectedComponents {
 
@@ -59,18 +63,18 @@ object ConnectedComponents {
 
     // label(x) = min(x, min neighbor) — every non-isolated node appears
     // as u in adj, so this covers all nodes
-    var labels = adj.groupBy($"u".as("id"))
+    var labelsCp = adj.groupBy($"u".as("id"))
       .agg(min($"v").as("mn"))
       .select($"id", least($"id", $"mn").as("lbl"))
       .localCheckpoint(false)
+    var labels = labelsCp
 
     var converged = false
     var round = 0
-    var prevSig = checksum(labels)
     // persists/checkpoints of rounds whose materializing job has not
     // run yet (unchecked rounds are lazy): freeing them early would
     // either lose the cache before its double-read or unmark a
-    // checkpoint pre-materialization — flush only after each checksum
+    // checkpoint pre-materialization — flush only after each check
     var pendingFree = List.empty[(DataFrame, Boolean)] // (frame, isCheckpoint)
     while (!converged && round < maxRounds) {
       // neighbor messages: x's label flows to every neighbor
@@ -82,9 +86,14 @@ object ConnectedComponents {
       // union constraint rewrite (AttributeMap lookup, Spark 4.1.2)
       // persisted: the jump self-join below reads it twice — without
       // this the whole message/groupBy subtree computes twice per round
-      val viaEdges = labels.select($"id".as("id"), $"lbl".as("lbl"))
-        .union(msgs.select($"id".as("id"), $"lbl".as("lbl")))
-        .groupBy($"id").agg(min($"lbl").as("lbl"))
+      // `prev` rides the aggregation for the convergence test: labels
+      // has exactly one row per id, so max(prev) IS the round's prior
+      // label — change detection costs one map-side-aggregated column,
+      // no extra join or full-table checksum
+      val viaEdges = labels.select($"id".as("id"), $"lbl".as("lbl"), $"lbl".as("prev"))
+        .union(msgs.select($"id".as("id"), $"lbl".as("lbl"),
+          lit(null).cast("long").as("prev")))
+        .groupBy($"id").agg(min($"lbl").as("lbl"), max($"prev").as("prev"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // pointer jump: also take label(label(x)) — labels always point to
       // smaller ids in the same component, so this is safe and compresses
@@ -93,24 +102,31 @@ object ConnectedComponents {
         .join(viaEdges.select($"id".as("jid"), $"lbl".as("jlbl")).as("b"),
           col("a.lbl") === col("b.jid"), "left")
         .select(col("a.id").as("id"),
-          least(col("a.lbl"), coalesce(col("jlbl"), col("a.lbl"))).as("lbl"))
+          least(col("a.lbl"), coalesce(col("jlbl"), col("a.lbl"))).as("lbl"),
+          col("a.prev").as("prev"))
         .localCheckpoint(false)
 
-      pendingFree = (viaEdges, false) :: (labels, true) :: pendingFree
-      labels = jumped
+      pendingFree = (viaEdges, false) :: (labelsCp, true) :: pendingFree
+      labelsCp = jumped
+      labels = jumped.select($"id", $"lbl")
       round += 1
       if (round % checkEvery == 0 || round >= maxRounds) {
         // one job materializes every lazy round since the last check
         // (their checkpoints/persists fill as intermediates of this job)
-        val sig = checksum(jumped)
+        // and counts this round's ACTUAL label changes. Labels decrease
+        // monotonically, so changed == 0 in the latest round means the
+        // fixpoint was reached — detection is exact at the first check
+        // after stabilization (the old checksum-equality test needed a
+        // full confirm WINDOW: up to checkEvery extra rounds of work)
+        val changed = jumped.agg(
+          coalesce(sum(when($"lbl" =!= $"prev", 1L).otherwise(0L)), lit(0L))).head().getLong(0)
         // all pending generations are now dead — free them, or up to
         // maxRounds generations of RDD blocks pile up in the block manager
         pendingFree.foreach { case (df, isCp) =>
           if (isCp) freeCheckpoint(df) else { df.unpersist(blocking = false); () }
         }
         pendingFree = Nil
-        converged = sig == prevSig
-        prevSig = sig
+        converged = changed == 0
       }
     }
 
@@ -135,16 +151,6 @@ object ConnectedComponents {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
       case _ => // not a checkpointed frame — nothing to free
     }
-
-  private def checksum(l: DataFrame): (Long, String) = {
-    // decimal(38) sum: ANSI mode (Spark 4 default) would overflow a
-    // long sum of 64-bit hashes
-    val row = l.agg(
-      count(lit(1)).as("n"),
-      coalesce(sum(xxhash64(col("id"), col("lbl")).cast("decimal(38,0)")), lit(0)).as("h")
-    ).head()
-    (row.getLong(0), row.get(1).toString)
-  }
 
   /** Dense 0-based renumbering of a key column (reference-compat dense
     * cluster ids, clusterer.py:778-784) WITHOUT a global un-partitioned

@@ -64,7 +64,29 @@ final case class DedupConfig(
       * threshold) the assignments are identical — asserted in
       * WebDedupSpec.
       */
-    candidateMode: String = "pairs") {
+    candidateMode: String = "pairs",
+    /** SimHash hamming-ball pass in the staged pipeline (north rule:
+      * "SimHash hamming-ball lookup for near-exact pairs"): >= 0
+      * enables an extra edge source pairing documents within this
+      * hamming radius — catches near-exact rewrites (e.g. reordered
+      * token multisets) whose shingle jaccard is LOW. -1 = off
+      * (default: the LSH tier alone matches the reference clusters).
+      * The pigeonhole join reuses `maxBandBucket` as its skew cap.
+      */
+    simhashRadius: Int = -1,
+    /** Winnowing shared-span pass in the staged pipeline (north rule:
+      * "suffix-array substring pass for long shared spans"): > 0
+      * enables an edge source pairing documents that share an exact
+      * substring of at least this many code points (verified by
+      * suffix-automaton LCS) — catches long quotations/mirrored
+      * fragments buried in otherwise-different pages. 0 = off.
+      */
+    spanMinSpan: Int = 0,
+    spanK: Int = 24,
+    spanWindow: Int = 8,
+    spanMinShared: Int = 2,
+    /** document-frequency cap for span fingerprints (0 = off) */
+    spanMaxFpDf: Int = 0) {
   require(candidateMode == "pairs" || candidateMode == "star",
     s"unknown candidateMode $candidateMode")
   require(numHashes == bands * rowsPerBand, "numHashes must equal bands*rowsPerBand")

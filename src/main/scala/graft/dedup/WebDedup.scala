@@ -24,7 +24,9 @@ object WebDedup {
     */
   def fingerprint(cfg: DedupConfig): String =
     s"k${cfg.shingleK}_c${cfg.charShingles}_h${cfg.numHashes}_b${cfg.bands}" +
-      s"_r${cfg.rowsPerBand}_s${cfg.seed}_t${cfg.threshold}_e${cfg.exactVerify}_m${cfg.maxBandBucket}"
+      s"_r${cfg.rowsPerBand}_s${cfg.seed}_t${cfg.threshold}_e${cfg.exactVerify}_m${cfg.maxBandBucket}" +
+      s"_sh${cfg.simhashRadius}_sp${cfg.spanMinSpan}.${cfg.spanK}.${cfg.spanWindow}" +
+      s".${cfg.spanMinShared}.${cfg.spanMaxFpDf}"
 
   /** Content snapshot of the input table (row count + order-invariant
     * xxhash checksum over all columns): folded into the stage
@@ -96,13 +98,47 @@ object WebDedup {
       Dedup.verifyPairs(Dedup.lshCandidates(sigs, cfg), sigs, cfg)
     }
 
-    // -- stage 5: connected components over near edges + exact edges
+    // -- stage 4b (opt-in): SimHash hamming-ball pass over the SAME
+    // signature table (the simhash column already rides it) — the north
+    // rule's near-exact tier, catching e.g. reordered token multisets
+    // whose shingle jaccard is low. Bucket cap reuses maxBandBucket.
+    var lastPairStage = "pairs"
+    val simhashPairs: Option[DataFrame] =
+      if (cfg.simhashRadius >= 0) {
+        val t = wh.getOrCreate("simhash_pairs", fp, parent = Some(lastPairStage)) {
+          Dedup.simhashPairs(sigs, cfg.simhashRadius, cfg.maxBandBucket)
+        }
+        lastPairStage = "simhash_pairs"
+        Some(t)
+      } else None
+
+    // -- stage 4c (opt-in): winnowing shared-span pass on the
+    // representatives — the north rule's substring tier, pairing pages
+    // that embed a long exact span (>= spanMinSpan code points,
+    // LCS-verified) inside otherwise-different text.
+    val spanPairs: Option[DataFrame] =
+      if (cfg.spanMinSpan > 0) {
+        val t = wh.getOrCreate("span_pairs", fp, parent = Some(lastPairStage)) {
+          val repRows = exactMap.where($"page_id" === $"rep").select($"page_id")
+            .join(extracted, Seq("page_id"))
+          Dedup.sharedSpanPairs(repRows, "page_id", "text",
+            cfg.spanK, cfg.spanWindow, cfg.spanMinShared, cfg.spanMinSpan, cfg.spanMaxFpDf)
+        }
+        lastPairStage = "span_pairs"
+        Some(t)
+      } else None
+
+    // -- stage 5: connected components over every edge source (exact
+    // collapse + LSH near-dups + optional simhash/span tiers)
     var ccResult: DataFrame = null
-    val assignments = wh.getOrCreate("assignments", fp, parent = Some("pairs")) {
+    val assignments = wh.getOrCreate("assignments", fp, parent = Some(lastPairStage)) {
       val exactEdges = exactMap.where($"page_id" =!= $"rep")
         .select($"rep".as("u"), $"page_id".as("v"))
-      val nearEdges = pairs.select($"id1".as("u"), $"id2".as("v"))
-      ccResult = ConnectedComponents.run(exactEdges.union(nearEdges))
+      val edgeSources = Seq(pairs.select($"id1".as("u"), $"id2".as("v"))) ++
+        simhashPairs.map(_.select($"id1".as("u"), $"id2".as("v"))) ++
+        spanPairs.map(_.select($"id1".as("u"), $"id2".as("v")))
+      ccResult = ConnectedComponents.run(
+        edgeSources.foldLeft(exactEdges)(_ union _))
       ccResult
     }
     // the stage commit (parquet write inside getOrCreate) consumed the
@@ -135,7 +171,9 @@ object WebDedup {
         "exact_reps" -> nReps,
         "near_pairs" -> nPairs,
         "clusters" -> nClusters,
-        "dup_pages" -> (nPages - nClusters)))
+        "dup_pages" -> (nPages - nClusters)) ++
+        simhashPairs.map(p => "simhash_pairs" -> p.count()).toMap ++
+        spanPairs.map(p => "span_pairs" -> p.count()).toMap)
     }
     clusters
   }

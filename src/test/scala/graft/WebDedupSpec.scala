@@ -113,6 +113,54 @@ class WebDedupSpec extends AnyFunSuite {
     assert((1000L until 1100L).forall(i => out(i) == i), "singletons must stay singleton")
   }
 
+  test("full north-rule pipeline: simhash + shared-span tiers catch what LSH cannot") {
+    import spark.implicits._
+    // fixture of distinct duplicate CLASSES:
+    //  - 1/2: token-REVERSED copy — identical token multiset => hamming
+    //    0 SimHash, but 5-shingle jaccard ~ 0 (no shared shingles) =>
+    //    invisible to the LSH tier
+    //  - 3/4: a long exact span embedded in otherwise-different text =>
+    //    jaccard well below threshold, LCS >= 64 => only the span tier
+    //  - 5/6: plain near-dup (one appended token) => the LSH tier
+    //  - 7: unrelated singleton
+    val t1 = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val span = (1 to 15).map(i => s"quote$i").mkString(" ") // ~100 chars
+    val t3 = s"intro one two three $span closing words here"
+    val t4 = s"different opening entirely $span and another ending"
+    val t5 = (1 to 20).map(i => s"base$i").mkString(" ")
+    val rows = Seq(
+      (1L, t1), (2L, t1.split(" ").reverse.mkString(" ")),
+      (3L, t3), (4L, t4),
+      (5L, t5), (6L, t5 + " extra"),
+      (7L, (1 to 20).map(i => s"lone$i").mkString(" ")))
+    val pages = rows.toDF("page_id", "text")
+      .withColumn("url", org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("u"), col("page_id")))
+    val full = cfg.copy(simhashRadius = 0, spanMinSpan = 64)
+    val wh = new Warehouse(java.nio.file.Files.createTempDirectory("wh").toString, spark)
+    val out = WebDedup.run(pages, wh, full)
+      .select(col("page_id"), col("cluster_id")).as[(Long, Long)].collect().toMap
+    assert(wh.buildCount == 8, "simhash_pairs + span_pairs stages must commit")
+    assert(out(1L) == out(2L), "simhash tier must pair the reversed copy")
+    assert(out(3L) == out(4L), "span tier must pair the shared-quotation pages")
+    assert(out(5L) == out(6L), "LSH tier still pairs plain near-dups")
+    assert(Set(out(1L), out(3L), out(5L), out(7L)).size == 4,
+      "distinct duplicate classes must stay distinct clusters")
+
+    // the LSH-only default config misses the first two classes — the
+    // tiers genuinely add recall, not redundancy
+    val wh2 = new Warehouse(java.nio.file.Files.createTempDirectory("wh").toString, spark)
+    val lshOnly = WebDedup.run(pages, wh2, cfg)
+      .select(col("page_id"), col("cluster_id")).as[(Long, Long)].collect().toMap
+    assert(lshOnly(1L) != lshOnly(2L) && lshOnly(3L) != lshOnly(4L))
+    assert(lshOnly(5L) == lshOnly(6L))
+
+    // resume: all 8 stages reuse
+    val wh3 = new Warehouse(wh.root, spark)
+    WebDedup.run(pages, wh3, full)
+    assert(wh3.buildCount == 0, "full pipeline must resume every committed stage")
+  }
+
   test("resume: second run rebuilds nothing and returns identical clusters") {
     val root = java.nio.file.Files.createTempDirectory("wh").toString
     val wh1 = new Warehouse(root, spark)
