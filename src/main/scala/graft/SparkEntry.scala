@@ -131,6 +131,24 @@ object SparkEntry {
         .select($"doc_id".cast("long").as("doc_id"), $"cluster_id", $"cluster_size")
     },
 
+    "dedup_incremental" -> { (s, dir) =>
+      // incremental maintenance: cluster the even half, then merge the
+      // odd half as a crawl batch WITHOUT recomputing even-even pairs —
+      // the oracle is the full-corpus recursive-CTE clustering, so the
+      // gate proves incremental == full recompute
+      val cfg = DedupConfig(exactVerify = true)
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+      val base = Dedup.clusterState(docs.where($"doc_id" % 2 === 0), "doc_id", "text", cfg)
+      val merged = Dedup.addBatch(base, docs.where($"doc_id" % 2 =!= 0), "doc_id", "text", cfg)
+      // eager checkpoint so the chain's persisted signatures can be
+      // freed before the frame is handed to the (lazy) consumer
+      val out = Dedup.stateClusters(merged)
+        .select($"id".as("doc_id"), $"cluster_id", $"cluster_size")
+        .localCheckpoint(true)
+      base.release(); merged.release()
+      out
+    },
+
     "dedup_simhash" -> { (s, dir) =>
       // reversed-token copies: same token multiset => identical SimHash
       // (hamming 0) while the text differs; corpus near-dup members are
@@ -569,6 +587,19 @@ object SparkEntry {
          |SELECT i AS id1, j AS id2, round(jac, 6) AS jaccard FROM pj WHERE jac >= 0.8""".stripMargin,
 
     "dedup_minhash_clusters" ->
+      s"""WITH RECURSIVE ${jaccardCtes(5)},
+         |pairs AS (SELECT i, j FROM pj WHERE jac >= 0.8),
+         |edges AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT e.b AS id, reach.r FROM reach JOIN edges e ON e.a = reach.id
+         |)
+         |SELECT id AS doc_id, min(r) AS cluster_id, count(*) AS cluster_size FROM reach GROUP BY id""".stripMargin,
+
+    // incremental == full recompute: the oracle clusters the WHOLE
+    // corpus in one pass, the Spark side does base-then-addBatch
+    "dedup_incremental" ->
       s"""WITH RECURSIVE ${jaccardCtes(5)},
          |pairs AS (SELECT i, j FROM pj WHERE jac >= 0.8),
          |edges AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),

@@ -57,8 +57,13 @@ object ConnectedComponents {
       .where($"u" =!= $"v")
     // no distinct: verified pair tables are already unique, and
     // duplicate edges only produce duplicate messages that the min
-    // aggregation absorbs — a full dedup shuffle here is pure latency
+    // aggregation absorbs — a full dedup shuffle here is pure latency.
+    // Hash-partitioned on u BEFORE the checkpoint: localCheckpoint
+    // preserves outputPartitioning, so every round's message join
+    // reads adj co-located and shuffles only the (far smaller) label
+    // side — one up-front exchange instead of one per round
     val adj = canon.union(canon.select($"v".as("u"), $"u".as("v")))
+      .repartition($"u")
       .localCheckpoint(false)
 
     // label(x) = min(x, min neighbor) — every non-isolated node appears
@@ -187,13 +192,22 @@ object ConnectedComponents {
 
   /** Attach cluster_id (min member id; nodes absent from any edge map to
     * themselves) and cluster_size to a source table.
+    *
+    * Sizes are aggregated on the LABEL table, not the joined source:
+    * nodes outside every edge are singletons (size 1 via coalesce), so
+    * counting assignment rows per label is equivalent to counting
+    * source rows per cluster — and the source table crosses exactly ONE
+    * shuffle join instead of two (at web scale the label table is the
+    * dup minority; the old shape shipped the full corpus through a
+    * second join just to attach a count).
     */
   def assign(source: DataFrame, idCol: String, edges: DataFrame): DataFrame = {
     val assignments = run(edges)
-    val withCluster = source
-      .join(assignments.withColumnRenamed("id", idCol), Seq(idCol), "left")
+    val sizes = assignments.groupBy($"cluster_id").agg(count(lit(1)).as("cluster_size"))
+    val labeled = assignments.join(sizes, "cluster_id")
+      .select($"id".as(idCol), $"cluster_id", $"cluster_size")
+    source.join(labeled, Seq(idCol), "left")
       .withColumn("cluster_id", coalesce($"cluster_id", col(idCol).cast("long")))
-    val sizes = withCluster.groupBy($"cluster_id").agg(count(lit(1)).as("cluster_size"))
-    withCluster.join(sizes, "cluster_id")
+      .withColumn("cluster_size", coalesce($"cluster_size", lit(1L)))
   }
 }

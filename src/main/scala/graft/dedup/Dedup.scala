@@ -92,6 +92,27 @@ final case class DedupConfig(
   require(numHashes == bands * rowsPerBand, "numHashes must equal bands*rowsPerBand")
 }
 
+/** Clustered-corpus snapshot for incremental dedup: the full
+  * per-document assignment table (id, cluster_id — singletons map to
+  * themselves; cluster_id = min member id) plus the representatives'
+  * persisted signature table. Everything [[Dedup.addBatch]] needs to
+  * merge a new crawl batch without recomputing old-old pairs.
+  */
+final case class ClusterState(assignments: DataFrame, signatures: DataFrame,
+    retained: Seq[DataFrame] = Nil) {
+  /** Free every persisted signature generation in the chain plus the
+    * label checkpoints, once the state (or the successor chain built
+    * from it) is fully consumed. `retained` tracks the chain's
+    * persisted pieces explicitly because a union plan over them is not
+    * itself cached — unpersisting the union would free nothing.
+    */
+  def release(): Unit = {
+    (signatures +: retained).foreach(_.unpersist(blocking = false))
+    graft.CacheHygiene.releaseCheckpoints(assignments)
+    ()
+  }
+}
+
 object Dedup {
 
   /** Scan-parallelism guard: a small local parquet (or any few-file
@@ -260,14 +281,29 @@ object Dedup {
     */
   def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
       cfg: DedupConfig = DedupConfig()): DataFrame = {
-    // exact collapse in the hash-rep join shape (same as exactClusters):
-    // group on a 128-bit content hash — never on the raw text (the full
-    // corpus would ride the shuffle as key bytes) and never into
-    // collect_list arrays (a hot boilerplate group with millions of
-    // members would OOM one executor as a single array row). Members
-    // rejoin their representative by hash; a mega-group skews exactly
-    // one join key, which AQE skew-split handles (the rep side is one
-    // row per key).
+    val st = clusterState(df, idCol, textCol, cfg)
+    // the signature table is part of the returned state only for
+    // incremental maintenance — a one-shot clustering drops it
+    st.signatures.unpersist(blocking = false)
+    val sizes = st.assignments.groupBy($"cluster_id").agg(count(lit(1)).as("cluster_size"))
+    df.withColumn(idCol, col(idCol).cast("long"))
+      .join(st.assignments.join(sizes, "cluster_id").withColumnRenamed("id", idCol), idCol)
+  }
+
+  /** In-batch exact collapse in the hash-rep join shape (same as
+    * exactClusters): group on a 128-bit content hash — never on the raw
+    * text (the full corpus would ride the shuffle as key bytes) and
+    * never into collect_list arrays (a hot boilerplate group with
+    * millions of members would OOM one executor as a single array row).
+    * Members rejoin their representative by hash; a mega-group skews
+    * exactly one join key, which AQE skew-split handles (the rep side
+    * is one row per key).
+    *
+    * @return (exact star edges rep->member, persisted signature table
+    *         over representatives, free() for the collapse persists)
+    */
+  private def collapseAndSign(df: DataFrame, idCol: String, textCol: String,
+      cfg: DedupConfig): (DataFrame, DataFrame, () => Unit) = {
     val norm = ensureParallel(df.select(col(idCol).cast("long").as("id"),
         Normalizers.normalizeString(col(textCol)).as("_t")))
       .withColumn("_h1", xxhash64($"_t"))
@@ -283,27 +319,132 @@ object Dedup {
       .join(grouped.select($"_h1", $"_h2", $"rep"), Seq("_h1", "_h2"))
       .where($"id" =!= $"rep")
       .select($"rep".as("u"), $"id".as("v"))
-
     val reps = grouped.select($"rep".as("id"), $"_t".as("text"))
     // signatures feed three joins (candidates + both verify sides):
     // persist so the MinHash projection runs once, exactly like the
     // checkpointed signature table in the staged pipeline (WebDedup)
     val sigs = signatures(reps, "id", "text", cfg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (exactEdges, sigs, () => {
+      norm.unpersist(blocking = false)
+      grouped.unpersist(blocking = false)
+      ()
+    })
+  }
+
+  /** Full clustering that KEEPS the state needed for incremental
+    * maintenance: the per-document assignment table and the persisted
+    * representative signature table. `assignments` covers EVERY input
+    * document (singletons map to themselves) — at warehouse scale this
+    * is the committed clusters table, not extra state.
+    */
+  def clusterState(df: DataFrame, idCol: String, textCol: String,
+      cfg: DedupConfig = DedupConfig()): ClusterState = {
+    val (exactEdges, sigs, free) = collapseAndSign(df, idCol, textCol, cfg)
     val nearEdges = verifyPairs(lshCandidates(sigs, cfg), sigs, cfg)
       .select($"id1".as("u"), $"id2".as("v"))
+    val labels = ConnectedComponents.run(exactEdges.union(nearEdges))
+    // run() materialized the labels (checkpointed), fully consuming the
+    // edge pipeline — the collapse persists are dead; the signature
+    // table stays persisted because it IS the returned state.
+    free()
+    val assignments = df.select(col(idCol).cast("long").as("id"))
+      .join(labels, Seq("id"), "left")
+      .select($"id", coalesce($"cluster_id", $"id").as("cluster_id"))
+    ClusterState(assignments, sigs)
+  }
 
-    val edges = exactEdges.union(nearEdges)
-    val out = ConnectedComponents.assign(df.withColumn(idCol, col(idCol).cast("long")), idCol, edges)
-    // assign() ran the (eager) CC rounds, which fully consumed the
-    // edge pipeline — the persisted intermediates are dead the moment
-    // it returns, and the result plan references only the CC label
-    // checkpoint + the raw input. Free them here or a long-lived
-    // session accumulates MEMORY_AND_DISK blocks per job.
-    norm.unpersist(blocking = false)
-    grouped.unpersist(blocking = false)
-    sigs.unpersist(blocking = false)
-    out
+  /** Cross-corpus LSH candidates: every (new id, old id) pair that
+    * collides in at least one band — the probe side of incremental
+    * dedup. Same band family as [[lshCandidates]], so a batch document
+    * identical to an old document collides in EVERY band (signature
+    * equality) and can never be missed.
+    *
+    * Skew: when cfg.maxBandBucket > 0, a hot OLD bucket (boilerplate
+    * the base corpus already clusters) degrades to its min-id member —
+    * the batch row still reaches that cluster through one
+    * representative instead of fanning out to the whole bucket.
+    */
+  def crossCandidates(newSigs: DataFrame, oldSigs: DataFrame,
+      cfg: DedupConfig = DedupConfig()): DataFrame = {
+    val r = cfg.rowsPerBand
+    def bandRows(sigs: DataFrame) = {
+      val bandArr = array((0 until cfg.bands).map(b =>
+        xxhash64(slice($"sig", b * r + 1, r), lit(b))): _*)
+      sigs.select($"id", posexplode(bandArr).as(Seq("band", "bh")))
+    }
+    val newBands = bandRows(newSigs)
+    var oldBands = bandRows(oldSigs)
+    if (cfg.maxBandBucket > 0) {
+      val hot = oldBands.groupBy($"band", $"bh").agg(
+          count(lit(1)).as("_n"), min($"id").as("_mn"))
+        .where($"_n" > cfg.maxBandBucket)
+        .select($"band", $"bh", $"_mn")
+      oldBands = oldBands.join(broadcast(hot), Seq("band", "bh"), "left")
+        .where($"_mn".isNull || $"id" === $"_mn")
+        .drop("_mn")
+    }
+    newBands.select($"band", $"bh", $"id".as("id1"))
+      .join(oldBands.select($"band", $"bh", $"id".as("id2")), Seq("band", "bh"))
+      .select($"id1", $"id2")
+      .distinct()
+  }
+
+  /** Incremental dedup: cluster a NEW batch of documents against an
+    * already-clustered corpus in O(batch + touched clusters) work — the
+    * operation a 10^12-document crawl pipeline actually runs (full
+    * recompute per crawl snapshot is exactly what does not scale).
+    *
+    * Candidates are batch-vs-batch (self LSH on the batch's collapsed
+    * representatives) plus batch-vs-base (band join against the state's
+    * signature table); verified pairs to an old document become edges
+    * to that document's CLUSTER ROOT, so connected components runs over
+    * batch ids + touched roots only — never the base corpus. Old roots
+    * relabel through one join on cluster_id; labels only decrease (the
+    * merged root is the global min member id), so the result equals a
+    * full recompute over the union in "pairs" candidate mode (asserted
+    * in WebDedupSpec and by the dedup_incremental driver oracle).
+    *
+    * Requires globally unique ids across base and batch.
+    */
+  def addBatch(state: ClusterState, newDocs: DataFrame, idCol: String, textCol: String,
+      cfg: DedupConfig = DedupConfig()): ClusterState = {
+    val (exactEdges, newSigs, free) = collapseAndSign(newDocs, idCol, textCol, cfg)
+    val nn = verifyPairs(lshCandidates(newSigs, cfg), newSigs, cfg)
+      .select($"id1".as("u"), $"id2".as("v"))
+    // batch-vs-base: verify against the two-sided signature union (the
+    // verify joins prune by candidate id; at rest-scale the base side
+    // is bucketed by id so only probed buckets ship — see ARCHITECTURE)
+    val no = verifyPairs(crossCandidates(newSigs, state.signatures, cfg),
+      newSigs.unionByName(state.signatures), cfg)
+    // an edge to an old document is an edge to its cluster root: CC
+    // never touches base-corpus members, only roots
+    val noEdges = no.join(state.assignments.withColumnRenamed("id", "id2"), Seq("id2"))
+      .select($"id1".as("u"), $"cluster_id".as("v"))
+    val cc = ConnectedComponents.run(exactEdges.union(nn).union(noEdges))
+    free()
+    val roots = cc.select($"id".as("_r"), $"cluster_id".as("_newRoot"))
+    // relabel old assignments through their root (left join: untouched
+    // clusters keep their id); labels only decrease, so the coalesce is
+    // exact, not heuristic
+    val oldFinal = state.assignments.join(roots, $"cluster_id" === $"_r", "left")
+      .select($"id", coalesce($"_newRoot", $"cluster_id").as("cluster_id"))
+    val newFinal = newDocs.select(col(idCol).cast("long").as("id"))
+      .join(roots.withColumnRenamed("_r", "id"), Seq("id"), "left")
+      .select($"id", coalesce($"_newRoot", $"id").as("cluster_id"))
+    ClusterState(oldFinal.unionByName(newFinal),
+      state.signatures.unionByName(newSigs),
+      retained = (state.signatures +: state.retained) :+ newSigs)
+  }
+
+  /** Materialize a state as the standard cluster table
+    * (id, cluster_id, cluster_size).
+    */
+  def stateClusters(state: ClusterState): DataFrame = {
+    val sizes = state.assignments.groupBy($"cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    state.assignments.join(sizes, "cluster_id")
+      .select($"id", $"cluster_id", $"cluster_size")
   }
 
   /** Free the connected-components label blocks backing a clustering

@@ -162,6 +162,15 @@ object WebDedup {
 
     // per-stage metrics (counts & skew surface) — written once per build
     if (wh.buildCount > 0) {
+      writeMetrics(wh, extracted, sigs, pairs, clusters,
+        simhashPairs, spanPairs)
+    }
+    clusters
+  }
+
+  private def writeMetrics(wh: Warehouse, extracted: DataFrame, sigs: DataFrame,
+      pairs: DataFrame, clusters: DataFrame,
+      simhashPairs: Option[DataFrame], spanPairs: Option[DataFrame]): Unit = {
       val nPages = extracted.count()
       val nReps = sigs.count()
       val nPairs = pairs.count()
@@ -174,6 +183,122 @@ object WebDedup {
         "dup_pages" -> (nPages - nClusters)) ++
         simhashPairs.map(p => "simhash_pairs" -> p.count()).toMap ++
         spanPairs.map(p => "span_pairs" -> p.count()).toMap)
+  }
+
+  /** Incremental staged pipeline: merge a new crawl batch into the
+    * committed result of a previous `run()` (gen = 1) or `addBatch()`
+    * (gen = k+1) WITHOUT recomputing base-base pairs — the per-snapshot
+    * operation a 10^12-document crawl pipeline actually runs.
+    *
+    * Work is O(batch + touched clusters): batch documents collapse,
+    * sign and band-probe the committed base signature table; verified
+    * pairs to a base document become edges to that document's CLUSTER
+    * ROOT (one join against the base clusters table), so connected
+    * components runs over batch ids + touched roots only. The updated
+    * corpus-wide tables (`signatures_g$gen`, `clusters_g$gen`) are the
+    * base of generation gen+1 — in a real Iceberg warehouse the
+    * signature update is an APPEND; the sandbox warehouse rewrites it.
+    *
+    * Every stage is a committed, resumable table keyed by config +
+    * batch-input snapshot + base-generation snapshot ids, so a killed
+    * batch merge resumes and a changed base invalidates. Result equals
+    * a full `run()` over base ∪ batch in "pairs" candidate mode
+    * (WebDedupSpec; the in-session twin is oracled by
+    * `dedup_incremental`).
+    */
+  def addBatch(batch: DataFrame, wh: Warehouse, cfg: DedupConfig = DedupConfig(),
+      gen: Int = 1, inputId: Option[String] = None): DataFrame = {
+    require(gen >= 1, "gen starts at 1 (the first batch on top of the base run)")
+    require(cfg.simhashRadius < 0 && cfg.spanMinSpan == 0,
+      "incremental maintenance covers the LSH tier; run the simhash/span tiers in run()")
+    def sigsName(g: Int) = if (g <= 0) "signatures" else s"signatures_g$g"
+    def clustersName(g: Int) = if (g <= 0) "clusters" else s"clusters_g$g"
+    val baseSigsN = sigsName(gen - 1)
+    val baseClustersN = clustersName(gen - 1)
+    val baseId = (wh.snapshotOf(baseSigsN), wh.snapshotOf(baseClustersN)) match {
+      case (Some(a), Some(b)) => a + "." + b
+      case _ => sys.error(s"base generation ${gen - 1} is not committed under ${wh.root}")
+    }
+    // chain fingerprint: config + batch content + base snapshot ids —
+    // a changed base (or batch, or config) invalidates every stage
+    val fp = fingerprint(cfg) + "_b" + inputId.getOrElse(inputSnapshot(batch)) + "_base" + baseId
+
+    val extracted = wh.getOrCreate(s"extracted_g$gen", fp) {
+      val withText =
+        if (batch.columns.contains("html"))
+          batch.withColumn("text", graft.extract.HtmlExtract.extractText($"html"))
+        else batch.withColumn("text", Normalizers.normalizeString($"text"))
+      withText.select($"page_id".cast("long").as("page_id"), $"url", $"text")
+    }
+
+    val exactMap = wh.getOrCreate(s"exact_map_g$gen", fp, parent = Some(s"extracted_g$gen")) {
+      val hashed = extracted.select($"page_id",
+        xxhash64($"text").as("_h1"), xxhash64($"text", lit(1)).as("_h2"))
+      val reps = hashed.groupBy($"_h1", $"_h2").agg(min($"page_id").as("rep"))
+      hashed.join(reps, Seq("_h1", "_h2")).select($"page_id", $"rep")
+    }
+
+    val batchSigs = wh.getOrCreate(s"sig_batch_g$gen", fp, parent = Some(s"exact_map_g$gen")) {
+      val repRows = exactMap.where($"page_id" === $"rep").select($"page_id")
+        .join(extracted, Seq("page_id"))
+        .select($"page_id".as("id"), $"text")
+      Dedup.signatures(repRows, "id", "text", cfg)
+    }
+
+    // every edge the batch adds, already rewired to base cluster roots
+    val edges = wh.getOrCreate(s"edges_g$gen", fp, parent = Some(s"sig_batch_g$gen")) {
+      val baseSigs = wh.read(baseSigsN)
+      val exactEdges = exactMap.where($"page_id" =!= $"rep")
+        .select($"rep".as("u"), $"page_id".as("v"))
+      val nn = Dedup.verifyPairs(Dedup.lshCandidates(batchSigs, cfg), batchSigs, cfg)
+        .select($"id1".as("u"), $"id2".as("v"))
+      val no = Dedup.verifyPairs(Dedup.crossCandidates(batchSigs, baseSigs, cfg),
+        batchSigs.unionByName(baseSigs), cfg)
+      val baseAssign = wh.read(baseClustersN)
+        .select($"page_id".as("id2"), $"cluster_id".as("_root"))
+      val noEdges = no.join(baseAssign, Seq("id2"))
+        .select($"id1".as("u"), $"_root".as("v"))
+      exactEdges.union(nn).union(noEdges)
+    }
+
+    var ccResult: DataFrame = null
+    val assignments = wh.getOrCreate(s"assignments_g$gen", fp, parent = Some(s"edges_g$gen")) {
+      ccResult = ConnectedComponents.run(edges)
+      val roots = ccResult.select($"id".as("_r"), $"cluster_id".as("_newRoot"))
+      val oldFinal = wh.read(baseClustersN).select($"page_id".as("id"), $"cluster_id")
+        .join(roots, $"cluster_id" === $"_r", "left")
+        .select($"id", coalesce($"_newRoot", $"cluster_id").as("cluster_id"))
+      val newFinal = extracted.select($"page_id".as("id"))
+        .join(roots.withColumnRenamed("_r", "id"), Seq("id"), "left")
+        .select($"id", coalesce($"_newRoot", $"id").as("cluster_id"))
+      oldFinal.unionByName(newFinal)
+    }
+    if (ccResult != null) ConnectedComponents.release(ccResult)
+
+    // corpus-wide signature table of this generation (Iceberg append)
+    val sigsAll = wh.getOrCreate(sigsName(gen), fp, parent = Some(s"sig_batch_g$gen")) {
+      wh.read(baseSigsN).unionByName(batchSigs)
+    }
+
+    val clusters = wh.getOrCreate(clustersName(gen), fp,
+        parent = Some(s"assignments_g$gen"), partitionBy = Seq("bucket")) {
+      val urls = wh.read(baseClustersN).select($"page_id", $"url")
+        .unionByName(extracted.select($"page_id", $"url"))
+      val withCluster = urls
+        .join(assignments.withColumnRenamed("id", "page_id"), Seq("page_id"))
+      val sizes = withCluster.groupBy($"cluster_id").agg(count(lit(1)).as("cluster_size"))
+      withCluster.join(sizes, "cluster_id")
+        .select($"page_id", $"url", $"cluster_id", $"cluster_size",
+          pmod(xxhash64($"cluster_id"), lit(16)).as("bucket"))
+    }
+
+    if (wh.buildCount > 0) {
+      wh.logMetrics(s"addBatch_g$gen", Map(
+        "batch_pages" -> extracted.count(),
+        "batch_reps" -> batchSigs.count(),
+        "new_edges" -> edges.count(),
+        "clusters" -> clusters.select($"cluster_id").distinct().count()))
+      val _ = sigsAll // committed for the next generation
     }
     clusters
   }

@@ -220,6 +220,51 @@ class WebDedupSpec extends AnyFunSuite {
     assert(m("near_pairs") > 0)
   }
 
+  test("incremental addBatch == full recompute (single and chained batches)") {
+    val docs = pages.select(col("page_id"), col("text"))
+    val full = Dedup.nearDupClusters(docs, "page_id", "text", cfg)
+      .select(col("page_id"), col("cluster_id"), col("cluster_size"))
+      .as[(Long, Long, Long)].collect().toSet
+
+    // one batch: even base + odd batch
+    val st0 = Dedup.clusterState(docs.where(col("page_id") % 2 === 0), "page_id", "text", cfg)
+    val st1 = Dedup.addBatch(st0, docs.where(col("page_id") % 2 =!= 0), "page_id", "text", cfg)
+    val inc1 = Dedup.stateClusters(st1).as[(Long, Long, Long)].collect().toSet
+    assert(inc1 == full, "single-batch incremental must equal full recompute")
+
+    // chained: thirds, two addBatch calls
+    val st2 = Dedup.clusterState(docs.where(col("page_id") % 3 === 0), "page_id", "text", cfg)
+    val st3 = Dedup.addBatch(st2, docs.where(col("page_id") % 3 === 1), "page_id", "text", cfg)
+    val st4 = Dedup.addBatch(st3, docs.where(col("page_id") % 3 === 2), "page_id", "text", cfg)
+    val inc2 = Dedup.stateClusters(st4).as[(Long, Long, Long)].collect().toSet
+    assert(inc2 == full, "chained incremental must equal full recompute")
+    st1.release(); st4.release()
+  }
+
+  test("incremental: a batch document bridges two base clusters into one") {
+    import spark.implicits._
+    val a = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    val b = (1 to 30).map(i => s"beta$i").mkString(" ")
+    val bridge = a + " " + b // contains both halves: jaccard vs a and b ~ 0.46
+    val base = Seq((1L, a), (2L, a + " xa"), (10L, b), (11L, b + " xb")).toDF("id", "text")
+    // 64x2 banding: P(candidate | jac 0.46) ~ 1 (32x4 would miss the
+    // mid-similarity bridge pair ~22% of the time); exactVerify keeps
+    // the 2-row bands' false positives out
+    val lowTh = cfg.copy(threshold = 0.45, bands = 64, rowsPerBand = 2)
+    val st0 = Dedup.clusterState(base, "id", "text", lowTh)
+    val baseAssign = st0.assignments.as[(Long, Long)].collect().toMap
+    assert(baseAssign(1L) == baseAssign(2L) && baseAssign(10L) == baseAssign(11L))
+    assert(baseAssign(1L) != baseAssign(10L), "base must start as two clusters")
+
+    val st1 = Dedup.addBatch(st0, Seq((20L, bridge)).toDF("id", "text"), "id", "text", lowTh)
+    val merged = Dedup.stateClusters(st1)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(merged.values.map(_._1).toSet.size == 1, "bridge doc must merge both clusters")
+    assert(merged(1L)._1 == 1L, "merged root must be the global min id")
+    assert(merged.values.forall(_._2 == 5L), "merged cluster size must count all 5 docs")
+    st1.release()
+  }
+
   test("result is independent of input partitioning (shuffle determinism)") {
     val wh1 = new Warehouse(java.nio.file.Files.createTempDirectory("wh").toString, spark)
     val wh2 = new Warehouse(java.nio.file.Files.createTempDirectory("wh").toString, spark)
