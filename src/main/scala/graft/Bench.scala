@@ -217,6 +217,28 @@ object Bench {
     val tMax = math.min(time(dedupJob(spark, corpusPath)), time(dedupJob(spark, corpusPath)))
     val thrMax = nDocs / tMax
 
+    // ---- incremental merge: the per-crawl-snapshot operation. Base =
+    // clustered 7/8 of the corpus (untimed — it is the committed state
+    // a pipeline already has); timed = addBatch of the remaining 1/8,
+    // where EVERY batch doc near-dups a base cluster (replica slice:
+    // the worst case for touched-cluster fan-in). The comparison point
+    // is the full-recompute time tMax — the cost a non-incremental
+    // engine pays per snapshot.
+    val corpus = spark.read.parquet(corpusPath)
+    val replicaIdx = pmod((corpus("doc_id") / 10000000L).cast("long"), lit(reps))
+    val baseDocs = corpus.where(replicaIdx =!= (reps - 1))
+    val batchDocs = corpus.where(replicaIdx === (reps - 1))
+    val nBatch = batchDocs.count()
+    val baseState = Dedup.clusterState(baseDocs, "doc_id", "text", benchCfg)
+    baseState.assignments.count() // force the untimed base build
+    var mergedState: graft.dedup.ClusterState = null
+    val tAddBatch = time {
+      mergedState = Dedup.addBatch(baseState, batchDocs, "doc_id", "text", benchCfg)
+      Dedup.stateClusters(mergedState).count()
+    }
+    mergedState.release(); baseState.release()
+    val thrBatch = nBatch / tAddBatch
+
     // ---- reference-workload match (10k x 10k, blocking on).
     // Both sides are identical copies (the reference fixture's shape,
     // test_large_scale_accuracy.py:100-106), so with early termination
@@ -244,6 +266,7 @@ object Bench {
       s"web_dedup_${CoresLo}c" -> tLo,
       s"web_dedup_${CoresHi}c" -> tHi,
       s"web_dedup_${CoresMax}c" -> tMax,
+      s"web_dedup_addbatch_${CoresMax}c" -> tAddBatch,
       "match_10kx10k" -> tMatch,
       "match_scored_10kx10k" -> tMatchScored)
     val qJson = allQueries.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
@@ -266,6 +289,14 @@ object Bench {
          || $CoresLo | $tLo%.2f | $thrLo%.1f |
          || $CoresHi | $tHi%.2f | $thrHi%.1f |
          || $CoresMax (headline) | $tMax%.2f | $thrMax%.1f |
+         |
+         |Incremental merge (the per-crawl-snapshot operation): adding
+         |the last 1/8 of the corpus ($nBatch%d docs, every one a near-dup
+         |of a base cluster — worst-case touched-cluster fan-in) onto the
+         |clustered 7/8 base takes **$tAddBatch%.1f s** ($thrBatch%.1f docs/sec)
+         |vs $tMax%.1f s for the full recompute a non-incremental engine
+         |pays per snapshot — and the incremental cost is O(batch +
+         |touched clusters), so the gap widens with corpus size.
          |
          |**Scaling efficiency ($CoresLo -> $CoresHi cores, the 4x step):
          |$efficiency%.3f** (target >= 0.8 per BASELINE.json). Above ~8

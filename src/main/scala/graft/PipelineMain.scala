@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.dedup.{DedupConfig, WebDedup}
+import graft.io.{Sources, Warehouse}
+
+/** spark-submit entry point for the flagship staged pipeline — the
+  * surface the north rule names ("run via spark-submit on a
+  * multi-executor cluster"):
+  *
+  *   spark-submit --class graft.PipelineMain graft.jar \
+  *     --input pages.parquet --warehouse /wh \
+  *     [--threshold 0.8] [--candidate-mode star] [--max-band-bucket 1000] \
+  *     [--simhash-radius 2] [--span-min-span 64] \
+  *     [--batch newpages.parquet --gen 1] \
+  *     [--output clusters.parquet] [--summary]
+  *
+  * Without --batch: full `WebDedup.run` (resumable — rerunning after a
+  * kill rebuilds only uncommitted stages). With --batch: incremental
+  * `WebDedup.addBatch` of generation --gen on top of the committed
+  * base. Cluster sizing (N vs 4N executors) is spark-submit's
+  * --num-executors; nothing here depends on the master.
+  */
+object PipelineMain {
+
+  def main(args: Array[String]): Unit = {
+    val opts = parse(args.toList)
+    val builder = SparkSession.builder()
+      .appName("graft-pipeline")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+    val spark = (if (sys.props.contains("spark.master")) builder
+      else builder.master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, opts, System.out)
+    finally spark.stop()
+  }
+
+  private[graft] def run(spark: SparkSession, opts: Map[String, String],
+      out: java.io.PrintStream): Unit = {
+    val cfg = DedupConfig(
+      threshold = opts.get("threshold").map(_.toDouble).getOrElse(0.8),
+      exactVerify = !opts.contains("estimated-verify"),
+      candidateMode = opts.getOrElse("candidate-mode", "pairs"),
+      maxBandBucket = opts.get("max-band-bucket").map(_.toInt).getOrElse(0),
+      simhashRadius = opts.get("simhash-radius").map(_.toInt).getOrElse(-1),
+      spanMinSpan = opts.get("span-min-span").map(_.toInt).getOrElse(0))
+    val wh = new Warehouse(opts("warehouse"), spark)
+    val clusters = opts.get("batch") match {
+      case Some(batchPath) =>
+        val batch = Sources.read(spark, graft.config.SourceSpec(path = Some(batchPath)))
+        WebDedup.addBatch(batch, wh, cfg, gen = opts.getOrElse("gen", "1").toInt)
+      case None =>
+        val pages = Sources.read(spark, graft.config.SourceSpec(path = Some(opts("input"))))
+        WebDedup.run(pages, wh, cfg)
+    }
+    opts.get("output").foreach(p =>
+      Sources.write(clusters, graft.config.SourceSpec(path = Some(p))))
+    if (opts.contains("summary"))
+      Sources.clusterSummary(clusters).show(100, truncate = false)
+    val n = clusters.count()
+    out.println(s"pipeline done: $n pages, " +
+      s"${wh.buildCount} stages built (rest resumed from ${wh.root})")
+  }
+
+  private val flags = Set("summary", "estimated-verify")
+
+  private def parse(args: List[String]): Map[String, String] = {
+    def loop(rest: List[String], acc: Map[String, String]): Map[String, String] = rest match {
+      case Nil => acc
+      case k :: t if k.startsWith("--") && flags(k.stripPrefix("--")) =>
+        loop(t, acc + (k.stripPrefix("--") -> "true"))
+      case k :: v :: t if k.startsWith("--") => loop(t, acc + (k.stripPrefix("--") -> v))
+      case other :: _ => throw new IllegalArgumentException(s"unexpected argument: $other")
+    }
+    val m = loop(args, Map.empty)
+    require(m.contains("warehouse") && (m.contains("input") || m.contains("batch")),
+      "usage: graft.PipelineMain --input pages.parquet --warehouse /wh " +
+        "[--batch new.parquet --gen 1] [--threshold T] [--candidate-mode pairs|star] " +
+        "[--max-band-bucket N] [--simhash-radius R] [--span-min-span N] " +
+        "[--output PATH] [--summary] [--estimated-verify]")
+    m
+  }
+}

@@ -38,17 +38,21 @@ object ConnectedComponents {
   /** @param edges      two-column DataFrame (any names) of long ids
     * @param maxRounds  safety bound; pointer jumping converges in
     *                   O(log n) rounds
-    * @param checkEvery run the convergence checksum (a serial job
-    *                   barrier) every this-many rounds. 2 halves the
-    *                   job count on the serial critical path — unchecked
-    *                   rounds stay lazy and fuse into the next checked
-    *                   round's job — at the worst-case cost of ONE extra
-    *                   round of (fused) work after convergence. Safe:
-    *                   labels decrease monotonically, so an unchanged
-    *                   checksum across k rounds implies no change in any
-    *                   of them.
+    * @param checkEvery run the convergence check (a serial job barrier)
+    *                   every this-many rounds. KEEP AT 1: fusing rounds
+    *                   (checkEvery=2) looked like it would halve the
+    *                   serial job count, but a fused window leaves round
+    *                   k's label tables lazy while round k+1's plan
+    *                   references them from multiple branches — AQE
+    *                   materializes those branches as CONCURRENT stage
+    *                   jobs, each recomputing the un-cached round-k
+    *                   subtree before any blocks land. Measured on the
+    *                   640k-doc bench corpus at 4 cores: checkEvery=2
+    *                   cost 2.4x total job time (857 s vs 353 s) and
+    *                   2.4x wall. One barrier per round is the cheaper
+    *                   serial tail.
     */
-  def run(edges: DataFrame, maxRounds: Int = 50, checkEvery: Int = 2): DataFrame = {
+  def run(edges: DataFrame, maxRounds: Int = 50, checkEvery: Int = 1): DataFrame = {
     val cols = edges.columns
     require(cols.length == 2, s"edges must have 2 columns, got ${cols.mkString(",")}")
     // undirected adjacency, self-loops dropped, both directions
@@ -58,16 +62,20 @@ object ConnectedComponents {
     // no distinct: verified pair tables are already unique, and
     // duplicate edges only produce duplicate messages that the min
     // aggregation absorbs — a full dedup shuffle here is pure latency.
-    // Hash-partitioned on u BEFORE the checkpoint: localCheckpoint
-    // preserves outputPartitioning, so every round's message join
-    // reads adj co-located and shuffles only the (far smaller) label
-    // side — one up-front exchange instead of one per round
+    // EAGER checkpoint: adj is the boundary between the (expensive)
+    // edge-producing pipeline and the (cheap) label rounds, and it is
+    // referenced by every round. A lazy checkpoint here lets the first
+    // convergence check materialize it through MULTIPLE concurrent AQE
+    // stage-materialization jobs — each recomputing the whole verify
+    // pipeline before any blocks are cached (measured 5x on the bench
+    // corpus). One up-front job runs that pipeline exactly once.
     val adj = canon.union(canon.select($"v".as("u"), $"u".as("v")))
-      .repartition($"u")
-      .localCheckpoint(false)
+      .localCheckpoint(true)
 
     // label(x) = min(x, min neighbor) — every non-isolated node appears
-    // as u in adj, so this covers all nodes
+    // as u in adj, so this covers all nodes. Lazy: it reads only the
+    // materialized adj blocks, so late materialization duplicates a
+    // cheap aggregation at worst.
     var labelsCp = adj.groupBy($"u".as("id"))
       .agg(min($"v").as("mn"))
       .select($"id", least($"id", $"mn").as("lbl"))

@@ -319,12 +319,27 @@ object Dedup {
       .join(grouped.select($"_h1", $"_h2", $"rep"), Seq("_h1", "_h2"))
       .where($"id" =!= $"rep")
       .select($"rep".as("u"), $"id".as("v"))
-    val reps = grouped.select($"rep".as("id"), $"_t".as("text"))
+    // ensureParallel: AQE coalesces the small (h1,h2) shuffle ahead of
+    // reps to 1-2 partitions (64 MB advisory target), which would run
+    // the EXPENSIVE MinHash projection below nearly serial (measured:
+    // 50 s vs 15 s for the signature job at 4 cores). Inactive at real
+    // scale, where reps spans many partitions.
+    val reps = ensureParallel(grouped.select($"rep".as("id"), $"_t".as("text")))
     // signatures feed three joins (candidates + both verify sides):
     // persist so the MinHash projection runs once, exactly like the
-    // checkpointed signature table in the staged pipeline (WebDedup)
+    // checkpointed signature table in the staged pipeline (WebDedup).
+    // EAGER: the downstream edge pipeline references sigs (and norm/
+    // grouped beneath it) from ~10 independent exchange subtrees; when
+    // the first action's AQE plan materializes those stages as
+    // concurrent jobs against a still-lazy cache, EACH ONE recomputes
+    // normalize+MinHash over the corpus before any blocks land
+    // (measured: ten identical 8-9 s stage jobs at 4 cores on the
+    // 640k-doc bench corpus — pure duplicated work, and it serializes
+    // at 1 core). One count() runs the projection exactly once; the
+    // herd then reads blocks. norm and grouped fill as its inputs.
     val sigs = signatures(reps, "id", "text", cfg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigs.count()
     (exactEdges, sigs, () => {
       norm.unpersist(blocking = false)
       grouped.unpersist(blocking = false)
@@ -341,12 +356,24 @@ object Dedup {
   def clusterState(df: DataFrame, idCol: String, textCol: String,
       cfg: DedupConfig = DedupConfig()): ClusterState = {
     val (exactEdges, sigs, free) = collapseAndSign(df, idCol, textCol, cfg)
+    // EAGER pair materialization: the banding/window/distinct/verify
+    // chain is the expensive half of the job, and connected components
+    // references it from FOUR branches (canon x flip x the initial
+    // label aggregation). Left lazy, AQE materializes those branches as
+    // overlapping stage jobs that contend and partially duplicate work
+    // (measured 2.4x wall at 4 cores); one count() runs the chain
+    // exactly once — the in-session analogue of WebDedup's committed
+    // `pairs` stage.
     val nearEdges = verifyPairs(lshCandidates(sigs, cfg), sigs, cfg)
       .select($"id1".as("u"), $"id2".as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    nearEdges.count()
     val labels = ConnectedComponents.run(exactEdges.union(nearEdges))
     // run() materialized the labels (checkpointed), fully consuming the
-    // edge pipeline — the collapse persists are dead; the signature
-    // table stays persisted because it IS the returned state.
+    // edge pipeline — the collapse persists and the pair table are
+    // dead; the signature table stays persisted because it IS the
+    // returned state.
+    nearEdges.unpersist(blocking = false)
     free()
     val assignments = df.select(col(idCol).cast("long").as("id"))
       .join(labels, Seq("id"), "left")
@@ -421,7 +448,13 @@ object Dedup {
     // never touches base-corpus members, only roots
     val noEdges = no.join(state.assignments.withColumnRenamed("id", "id2"), Seq("id2"))
       .select($"id1".as("u"), $"cluster_id".as("v"))
-    val cc = ConnectedComponents.run(exactEdges.union(nn).union(noEdges))
+    // eager pair materialization before CC — same rationale as in
+    // clusterState (CC references the edge pipeline from four branches)
+    val newEdges = nn.union(noEdges)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    newEdges.count()
+    val cc = ConnectedComponents.run(exactEdges.union(newEdges))
+    newEdges.unpersist(blocking = false)
     free()
     val roots = cc.select($"id".as("_r"), $"cluster_id".as("_newRoot"))
     // relabel old assignments through their root (left join: untouched

@@ -62,6 +62,40 @@ object StreamingDedup {
         approx_count_distinct(col("corpus_id")).as("n_candidates"))
   }
 
+  /** Signature-VERIFIED streaming dedup: like [[dupCandidatesAgainst]]
+    * but each band hit is re-joined to the corpus signature table and
+    * scored with the MinHash Jaccard estimator, so a page is flagged
+    * only when its estimated similarity clears cfg.threshold — band
+    * collisions alone (boilerplate shingles, unlucky buckets) do not.
+    * Output: one row per incoming page with a verified match
+    * (in_id, match_id = min verified corpus id, est_sim = best score).
+    *
+    * Plan shape stays streaming-legal: the incoming signature rides its
+    * band explode (the stream side is the small side of every
+    * micro-batch; the corpus side explodes id-only), two stream-static
+    * equi-joins (band hit, then signature fetch by corpus_id), a
+    * codegen'd zip_with/aggregate estimator column, one groupBy. A pair
+    * colliding in k bands is scored k times — absorbed by the max/min
+    * aggregation rather than a stateful dropDuplicates, which would
+    * grow unbounded keyed state without a watermark.
+    */
+  def verifiedDupsAgainst(staticSigs: DataFrame, stream: DataFrame,
+      idCol: String, textCol: String, cfg: DedupConfig = DedupConfig()): DataFrame = {
+    val incoming = signatureStream(stream, idCol, textCol, cfg)
+      .select(col("id").as("in_id"), col("sig").as("in_sig"),
+        posexplode(bandCols(cfg)).as(Seq("band", "bh")))
+    val corpusBands = staticSigs
+      .select(col("id").as("corpus_id"), posexplode(bandCols(cfg)).as(Seq("band", "bh")))
+    incoming.join(corpusBands, Seq("band", "bh"))
+      .where(col("in_id") =!= col("corpus_id"))
+      .join(staticSigs.select(col("id").as("corpus_id"), col("sig").as("corpus_sig")),
+        Seq("corpus_id"))
+      .withColumn("est_sim", graft.functions.minhash_jaccard(col("in_sig"), col("corpus_sig")))
+      .where(col("est_sim") >= cfg.threshold)
+      .groupBy(col("in_id"))
+      .agg(min(col("corpus_id")).as("match_id"), max(col("est_sim")).as("est_sim"))
+  }
+
   /** Watermarked tumbling-window ingest stats per language — the
     * monitoring aggregation a crawl pipeline keeps next to dedup.
     */

@@ -11,21 +11,28 @@ object TailProbe {
   def main(args: Array[String]): Unit = {
     val cores = args.headOption.getOrElse("32").toInt
     val path = if (args.length > 1) args(1) else "/tmp/graft_scale_corpus_16"
+    val aqe = sys.env.getOrElse("TAIL_PROBE_AQE", "true")
     val spark = SparkSession.builder().master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", math.max(cores, 4).toString)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.ui.enabled", false).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val cfg = DedupConfig(candidateMode = "star")
 
-    val starts = scala.collection.concurrent.TrieMap.empty[Int, Long]
-    val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double)] // id, start-rel, dur
+    val starts = scala.collection.concurrent.TrieMap.empty[Int, (Long, String)]
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double, String)]
     @volatile var t0 = 0L
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit = starts(j.jobId) = j.time
-      override def onJobEnd(j: SparkListenerJobEnd): Unit = starts.remove(j.jobId).foreach { s =>
-        rows.synchronized { rows += ((j.jobId, (s - t0) / 1e3, (j.time - s) / 1e3)) }
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        val last = j.stageInfos.maxByOption(_.stageId)
+        val name = last.map(s => s"${s.name.takeWhile(_ != '\n')} tasks=${s.numTasks}")
+          .getOrElse("?")
+        starts(j.jobId) = (j.time, name)
       }
+      override def onJobEnd(j: SparkListenerJobEnd): Unit =
+        starts.remove(j.jobId).foreach { case (s, name) =>
+          rows.synchronized { rows += ((j.jobId, (s - t0) / 1e3, (j.time - s) / 1e3, name)) }
+        }
     })
 
     // warmup
@@ -39,11 +46,11 @@ object TailProbe {
     Thread.sleep(500)
     val jobs = rows.sortBy(_._1)
     println(f"[tail-probe] cores=$cores wall=$wall%.2f jobs=${jobs.size} jobSum=${jobs.map(_._3).sum}%.2f")
-    jobs.foreach { case (id, rel, d) =>
-      println(f"[tail-probe]   job $id%3d start=$rel%7.2f dur=$d%7.2f")
+    jobs.foreach { case (id, rel, d, name) =>
+      println(f"[tail-probe]   job $id%3d start=$rel%7.2f dur=$d%7.2f  $name%s")
     }
     // gaps between consecutive jobs = driver-side serial time
-    val gaps = jobs.zip(jobs.drop(1)).map { case ((_, s1, d1), (i2, s2, _)) =>
+    val gaps = jobs.zip(jobs.drop(1)).map { case ((_, s1, d1, _), (i2, s2, _, _)) =>
       (i2, s2 - (s1 + d1))
     }.filter(_._2 > 0.2)
     gaps.foreach { case (before, g) => println(f"[tail-probe]   gap before job $before%3d: $g%6.2f s") }

@@ -39,6 +39,46 @@ class StreamingDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("verified streaming dedup: band collision alone is not enough, estimator gate is") {
+    implicit val sqlCtx = spark.sqlContext
+    // 64x2 banding makes a jaccard ~0.5 doc collide in >=1 band with
+    // near-certainty while its estimated similarity stays far below the
+    // 0.8 threshold — separating the candidate surface from the
+    // verified one (everything is seed-pinned, so this is deterministic)
+    val wideCfg = DedupConfig(bands = 64, rowsPerBand = 2)
+    val toks = (1 to 40).map(i => s"corp$i")
+    val corpusDoc = toks.mkString(" ")
+    // ~half the tokens replaced => shingle jaccard ~0.45
+    val halfway = toks.take(20).mkString(" ") + " " +
+      (1 to 20).map(i => s"other$i").mkString(" ")
+    val nearDup = corpusDoc + " zz"
+    val staticSigs = Dedup.signatures(
+      Seq((7L, corpusDoc)).toDF("id", "text"), "id", "text", wideCfg)
+
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((100L, nearDup), (200L, halfway))
+
+    val cand = StreamingDedup.dupCandidatesAgainst(
+      staticSigs, mem.toDF().toDF("page_id", "text"), "page_id", "text", wideCfg)
+    val ver = StreamingDedup.verifiedDupsAgainst(
+      staticSigs, mem.toDF().toDF("page_id", "text"), "page_id", "text", wideCfg)
+    val q1 = cand.writeStream.format("memory").queryName("cand")
+      .outputMode("complete").start()
+    val q2 = ver.writeStream.format("memory").queryName("ver")
+      .outputMode("complete").start()
+    try {
+      q1.processAllAvailable(); q2.processAllAvailable()
+      val candIds = spark.sql("SELECT in_id FROM cand").collect().map(_.getLong(0)).toSet
+      assert(candIds == Set(100L, 200L),
+        "both docs band-collide: the candidate surface flags the halfway doc too")
+      val verified = spark.sql("SELECT in_id, match_id, est_sim FROM ver").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(verified.keySet == Set(100L), "only the true near-dup survives the estimator gate")
+      assert(verified(100L)._1 == 7L)
+      assert(verified(100L)._2 >= 0.8)
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("streaming signatures equal batch signatures (same pinned family)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]

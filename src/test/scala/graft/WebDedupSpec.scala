@@ -265,6 +265,74 @@ class WebDedupSpec extends AnyFunSuite {
     st1.release()
   }
 
+  test("staged addBatch: == full run over the union; resumes; kill rebuilds only downstream") {
+    val even = pages.where(col("page_id") % 2 === 0)
+    val odd = pages.where(col("page_id") % 2 =!= 0)
+    val root = java.nio.file.Files.createTempDirectory("wh").toString
+
+    // gen 0: full run over the even half commits signatures + clusters
+    val wh0 = new Warehouse(root, spark)
+    WebDedup.run(even, wh0, cfg)
+    // gen 1: merge the odd half as a crawl batch
+    val wh1 = new Warehouse(root, spark)
+    val merged = WebDedup.addBatch(odd, wh1, cfg, gen = 1)
+      .select(col("page_id"), col("cluster_id"), col("cluster_size"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(wh1.buildCount == 7, "all 7 generation-1 stages must build")
+
+    // equality with a one-shot full run over the whole corpus (labels
+    // are min member ids both ways, so rows compare directly)
+    val whFull = new Warehouse(java.nio.file.Files.createTempDirectory("wh").toString, spark)
+    val full = WebDedup.run(pages, whFull, cfg)
+      .select(col("page_id"), col("cluster_id"), col("cluster_size"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(merged == full, "staged addBatch must equal full recompute over the union")
+
+    // resume: same root, same batch — nothing rebuilds
+    val wh2 = new Warehouse(root, spark)
+    val again = WebDedup.addBatch(odd, wh2, cfg, gen = 1)
+      .select(col("page_id"), col("cluster_id"), col("cluster_size"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(wh2.buildCount == 0, "committed batch merge must resume entirely")
+    assert(again == merged)
+
+    // kill mid-merge: edges committed but unmarked -> edges + its
+    // descendants (assignments, clusters) rebuild; the 3 batch prep
+    // stages and signatures_g1 (parented on sig_batch) are reused
+    java.nio.file.Files.delete(java.nio.file.Paths.get(root, "edges_g1", "_manifest.json"))
+    val wh3 = new Warehouse(root, spark)
+    val resumed = WebDedup.addBatch(odd, wh3, cfg, gen = 1)
+      .select(col("page_id"), col("cluster_id"), col("cluster_size"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(wh3.buildCount == 3, "only the killed stage and its descendants rebuild")
+    assert(resumed == merged)
+
+    // changed BASE invalidates the batch merge (base snapshot ids are
+    // folded into the generation fingerprint)
+    val whBase = new Warehouse(root, spark)
+    WebDedup.run(even.where(col("page_id") =!= 2L), whBase, cfg)
+    val wh4 = new Warehouse(root, spark)
+    WebDedup.addBatch(odd, wh4, cfg, gen = 1)
+    assert(wh4.buildCount == 7, "a re-run base must invalidate every generation stage")
+  }
+
+  test("staged addBatch chains generations (gen 2 over gen 1)") {
+    val third0 = pages.where(col("page_id") % 3 === 0)
+    val third1 = pages.where(col("page_id") % 3 === 1)
+    val third2 = pages.where(col("page_id") % 3 === 2)
+    val root = java.nio.file.Files.createTempDirectory("wh").toString
+    WebDedup.run(third0, new Warehouse(root, spark), cfg)
+    WebDedup.addBatch(third1, new Warehouse(root, spark), cfg, gen = 1)
+    val g2 = WebDedup.addBatch(third2, new Warehouse(root, spark), cfg, gen = 2)
+      .select(col("page_id"), col("cluster_id"), col("cluster_size"))
+      .as[(Long, Long, Long)].collect().toSet
+    val whFull = new Warehouse(java.nio.file.Files.createTempDirectory("wh").toString, spark)
+    val full = WebDedup.run(pages, whFull, cfg)
+      .select(col("page_id"), col("cluster_id"), col("cluster_size"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(g2 == full, "two chained generations must equal full recompute")
+  }
+
   test("result is independent of input partitioning (shuffle determinism)") {
     val wh1 = new Warehouse(java.nio.file.Files.createTempDirectory("wh").toString, spark)
     val wh2 = new Warehouse(java.nio.file.Files.createTempDirectory("wh").toString, spark)
