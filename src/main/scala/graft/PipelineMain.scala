@@ -27,13 +27,17 @@ object PipelineMain {
     val opts = parse(args.toList)
     val builder = SparkSession.builder()
       .appName("graft-pipeline")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+    // Under spark-submit (spark.master set), shuffle parallelism is the
+    // cluster's business: honor --conf spark.sql.shuffle.partitions /
+    // AQE defaults rather than overriding them here. The local fallback
+    // pins partitions to its thread count.
     val spark = (if (sys.props.contains("spark.master")) builder
-      else builder.master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"))
-      .getOrCreate()
+      else {
+        val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+        builder.master(s"local[$cpus]").config("spark.sql.shuffle.partitions", cpus)
+      }).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try run(spark, opts, System.out)
     finally spark.stop()
@@ -41,9 +45,13 @@ object PipelineMain {
 
   private[graft] def run(spark: SparkSession, opts: Map[String, String],
       out: java.io.PrintStream): Unit = {
+    // verify mode follows the library default (signature estimate — the
+    // web-scale path; DedupConfig.exactVerify docs); --exact-verify
+    // opts into shipping shingle-hash sets through the verify join for
+    // reference-exact Jaccard (the WebDedupSpec recall-pinning config)
     val cfg = DedupConfig(
       threshold = opts.get("threshold").map(_.toDouble).getOrElse(0.8),
-      exactVerify = !opts.contains("estimated-verify"),
+      exactVerify = opts.contains("exact-verify"),
       candidateMode = opts.getOrElse("candidate-mode", "pairs"),
       maxBandBucket = opts.get("max-band-bucket").map(_.toInt).getOrElse(0),
       simhashRadius = opts.get("simhash-radius").map(_.toInt).getOrElse(-1),
@@ -66,7 +74,7 @@ object PipelineMain {
       s"${wh.buildCount} stages built (rest resumed from ${wh.root})")
   }
 
-  private val flags = Set("summary", "estimated-verify")
+  private val flags = Set("summary", "exact-verify")
 
   private def parse(args: List[String]): Map[String, String] = {
     def loop(rest: List[String], acc: Map[String, String]): Map[String, String] = rest match {
@@ -81,7 +89,7 @@ object PipelineMain {
       "usage: graft.PipelineMain --input pages.parquet --warehouse /wh " +
         "[--batch new.parquet --gen 1] [--threshold T] [--candidate-mode pairs|star] " +
         "[--max-band-bucket N] [--simhash-radius R] [--span-min-span N] " +
-        "[--output PATH] [--summary] [--estimated-verify]")
+        "[--output PATH] [--summary] [--exact-verify]")
     m
   }
 }

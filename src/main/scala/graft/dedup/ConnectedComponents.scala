@@ -26,12 +26,14 @@ import graft._
   * Skew: a hot component floods its min label to all members — both
   * the message groupBy and the jump join aggregate map-side (partial
   * min), so hot labels reduce before the shuffle; AQE handles residual
-  * join skew. Lineage is truncated every round via lazy localCheckpoint,
-  * materialized by the convergence check — which runs every
-  * `checkEvery` rounds (unchecked rounds fuse into the next check's
-  * job) and counts the latest round's ACTUAL label changes (the prior
-  * label rides the round aggregation), so convergence is detected at
-  * the first check after the fixpoint with no confirm-round waste.
+  * join skew. The adjacency is eagerly checkpointed (hash-partitioned
+  * on u) once up front; each round's labels are lazily checkpointed and
+  * materialized by that round's convergence check, which counts the
+  * round's ACTUAL label changes (the prior label rides the round
+  * aggregation), so convergence is detected exactly at the fixpoint
+  * with no confirm-round waste. The check runs EVERY round — fusing
+  * rounds into one job was measured 2.4x slower under AQE (see the
+  * `checkEvery` param note).
   */
 object ConnectedComponents {
 
@@ -69,7 +71,13 @@ object ConnectedComponents {
     // stage-materialization jobs — each recomputing the whole verify
     // pipeline before any blocks are cached (measured 5x on the bench
     // corpus). One up-front job runs that pipeline exactly once.
+    // Hash-partitioned on u BEFORE the checkpoint: localCheckpoint
+    // preserves outputPartitioning, so every round's message join reads
+    // adj co-located and shuffles only the (far smaller) label side —
+    // one up-front exchange instead of one full-adjacency exchange per
+    // round, which is what dominates at web scale.
     val adj = canon.union(canon.select($"v".as("u"), $"u".as("v")))
+      .repartition($"u")
       .localCheckpoint(true)
 
     // label(x) = min(x, min neighbor) — every non-isolated node appears

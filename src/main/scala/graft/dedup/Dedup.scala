@@ -319,12 +319,13 @@ object Dedup {
       .join(grouped.select($"_h1", $"_h2", $"rep"), Seq("_h1", "_h2"))
       .where($"id" =!= $"rep")
       .select($"rep".as("u"), $"id".as("v"))
-    // ensureParallel: AQE coalesces the small (h1,h2) shuffle ahead of
-    // reps to 1-2 partitions (64 MB advisory target), which would run
-    // the EXPENSIVE MinHash projection below nearly serial (measured:
-    // 50 s vs 15 s for the signature job at 4 cores). Inactive at real
-    // scale, where reps spans many partitions.
-    val reps = ensureParallel(grouped.select($"rep".as("id"), $"_t".as("text")))
+    // signatures()' internal ensureParallel guard matters here: AQE
+    // coalesces the small (h1,h2) shuffle ahead of reps to 1-2
+    // partitions (64 MB advisory target), which would run the EXPENSIVE
+    // MinHash projection nearly serial (measured: 50 s vs 15 s for the
+    // signature job at 4 cores). Inactive at real scale, where reps
+    // spans many partitions.
+    val reps = grouped.select($"rep".as("id"), $"_t".as("text"))
     // signatures feed three joins (candidates + both verify sides):
     // persist so the MinHash projection runs once, exactly like the
     // checkpointed signature table in the staged pipeline (WebDedup).

@@ -27,12 +27,13 @@ object StreamingDedup {
     * streaming DataFrame as-is.
     */
   def signatureStream(pages: DataFrame, idCol: String, textCol: String,
-      cfg: DedupConfig = DedupConfig()): DataFrame = {
+      cfg: DedupConfig = DedupConfig(), passthrough: Seq[String] = Nil): DataFrame = {
     val text = Normalizers.normalizeString(col(textCol))
     pages.select(
-      col(idCol).cast("long").as("id"),
-      graft.functions.minhash_words(text, cfg.shingleK, cfg.numHashes, cfg.seed).as("sig"),
-      graft.functions.simhash_words(text, cfg.seed).as("simhash"))
+      col(idCol).cast("long").as("id") +:
+        graft.functions.minhash_words(text, cfg.shingleK, cfg.numHashes, cfg.seed).as("sig") +:
+        graft.functions.simhash_words(text, cfg.seed).as("simhash") +:
+        passthrough.map(col): _*)
   }
 
   private def bandCols(cfg: DedupConfig): Column = {
@@ -41,25 +42,50 @@ object StreamingDedup {
       xxhash64(slice(col("sig"), b * r + 1, r), lit(b))): _*)
   }
 
+  /** Event-time scoping shared by the two dedup aggregations. Without a
+    * `tsCol` the per-page groupBy keeps one state row per distinct page
+    * id FOREVER (update/complete modes only — fine for bounded replays
+    * and tests, unbounded on a continuous crawl). With a `tsCol` the
+    * stream is watermarked and the aggregation is additionally keyed by
+    * a tumbling event-time window, so the state store expires closed
+    * windows and the query runs append-mode on an indefinite stream.
+    */
+  private def scoped(stream: DataFrame, tsCol: Option[String], watermarkDelay: String,
+      windowLen: String): (DataFrame, Seq[String], Seq[Column] => Seq[Column]) = tsCol match {
+    case None => (stream, Nil, keys => keys)
+    case Some(t) =>
+      (stream.withWatermark(t, watermarkDelay), Seq(t),
+        keys => window(col(t), windowLen) +: keys)
+  }
+
   /** Flag incoming pages that LSH-collide with the existing corpus:
     * stream-static join on band hashes, then per-page aggregation to a
     * boolean + first matching corpus id. Output = one row per incoming
     * page that hit >= 1 band bucket; downstream can verify exactly or
     * route to quarantine.
+    *
+    * Pass `tsCol` on continuous streams: it watermarks the input and
+    * windows the aggregation so per-page state expires (append-legal);
+    * without it the groupBy state grows with distinct page ids.
     */
   def dupCandidatesAgainst(staticSigs: DataFrame, stream: DataFrame,
-      idCol: String, textCol: String, cfg: DedupConfig = DedupConfig()): DataFrame = {
-    val incoming = signatureStream(stream, idCol, textCol, cfg)
-      .select(col("id").as("in_id"), posexplode(bandCols(cfg)).as(Seq("band", "bh")))
+      idCol: String, textCol: String, cfg: DedupConfig = DedupConfig(),
+      tsCol: Option[String] = None, watermarkDelay: String = "10 minutes",
+      windowLen: String = "5 minutes"): DataFrame = {
+    val (src, carry, withWindow) = scoped(stream, tsCol, watermarkDelay, windowLen)
+    val incoming = signatureStream(src, idCol, textCol, cfg, passthrough = carry)
+      .select(col("id").as("in_id") +: posexplode(bandCols(cfg)).as(Seq("band", "bh")) +:
+        carry.map(col): _*)
     val corpus = staticSigs
       .select(col("id").as("corpus_id"), posexplode(bandCols(cfg)).as(Seq("band", "bh")))
     incoming.join(corpus, Seq("band", "bh"))
       .where(col("in_id") =!= col("corpus_id"))
-      .groupBy(col("in_id"))
+      .groupBy(withWindow(Seq(col("in_id"))): _*)
       // distinct aggregates are unsupported on streams; approx_count_
       // distinct is the streaming-legal cardinality (HLL)
       .agg(min(col("corpus_id")).as("first_match"),
         approx_count_distinct(col("corpus_id")).as("n_candidates"))
+      .drop("window")
   }
 
   /** Signature-VERIFIED streaming dedup: like [[dupCandidatesAgainst]]
@@ -76,14 +102,20 @@ object StreamingDedup {
     * equi-joins (band hit, then signature fetch by corpus_id), a
     * codegen'd zip_with/aggregate estimator column, one groupBy. A pair
     * colliding in k bands is scored k times — absorbed by the max/min
-    * aggregation rather than a stateful dropDuplicates, which would
-    * grow unbounded keyed state without a watermark.
+    * aggregation rather than a stateful dropDuplicates.
+    *
+    * Pass `tsCol` on continuous streams: it watermarks the input and
+    * windows the aggregation so per-page state expires (append-legal);
+    * without it the groupBy state grows with distinct page ids.
     */
   def verifiedDupsAgainst(staticSigs: DataFrame, stream: DataFrame,
-      idCol: String, textCol: String, cfg: DedupConfig = DedupConfig()): DataFrame = {
-    val incoming = signatureStream(stream, idCol, textCol, cfg)
-      .select(col("id").as("in_id"), col("sig").as("in_sig"),
-        posexplode(bandCols(cfg)).as(Seq("band", "bh")))
+      idCol: String, textCol: String, cfg: DedupConfig = DedupConfig(),
+      tsCol: Option[String] = None, watermarkDelay: String = "10 minutes",
+      windowLen: String = "5 minutes"): DataFrame = {
+    val (src, carry, withWindow) = scoped(stream, tsCol, watermarkDelay, windowLen)
+    val incoming = signatureStream(src, idCol, textCol, cfg, passthrough = carry)
+      .select(col("id").as("in_id") +: col("sig").as("in_sig") +:
+        posexplode(bandCols(cfg)).as(Seq("band", "bh")) +: carry.map(col): _*)
     val corpusBands = staticSigs
       .select(col("id").as("corpus_id"), posexplode(bandCols(cfg)).as(Seq("band", "bh")))
     incoming.join(corpusBands, Seq("band", "bh"))
@@ -92,8 +124,9 @@ object StreamingDedup {
         Seq("corpus_id"))
       .withColumn("est_sim", graft.functions.minhash_jaccard(col("in_sig"), col("corpus_sig")))
       .where(col("est_sim") >= cfg.threshold)
-      .groupBy(col("in_id"))
+      .groupBy(withWindow(Seq(col("in_id"))): _*)
       .agg(min(col("corpus_id")).as("match_id"), max(col("est_sim")).as("est_sim"))
+      .drop("window")
   }
 
   /** Watermarked tumbling-window ingest stats per language — the

@@ -79,6 +79,40 @@ class StreamingDedupSpec extends AnyFunSuite {
     } finally { q1.stop(); q2.stop() }
   }
 
+  test("watermarked verified dedup: append mode, window closes on watermark, state bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val toks = (1 to 40).map(i => s"wmk$i")
+    val corpusDoc = toks.mkString(" ")
+    val staticSigs = Dedup.signatures(
+      Seq((7L, corpusDoc)).toDF("id", "text"), "id", "text", cfg)
+
+    def ts(minute: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val ver = StreamingDedup.verifiedDupsAgainst(
+      staticSigs, mem.toDF().toDF("page_id", "text", "ts"), "page_id", "text", cfg,
+      tsCol = Some("ts"), watermarkDelay = "10 minutes", windowLen = "5 minutes")
+    // append mode is only legal because the watermark bounds the window
+    // state — the un-watermarked variant would throw AnalysisException here
+    val q = ver.writeStream.format("memory").queryName("wmkver")
+      .outputMode("append").start()
+    try {
+      // batch 1: a near-dup at 10:00. Its [10:00,10:05) window cannot
+      // close yet (watermark = max ts - 10 min = 9:50) -> no output.
+      mem.addData((100L, corpusDoc + " zz", ts(0)))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM wmkver").count() == 0,
+        "append mode must hold the row until the watermark passes the window")
+      // batch 2: an unrelated late page at 10:20 advances the watermark
+      // to 10:10 >= window end 10:05 -> the verified match emits.
+      mem.addData((999L, "unrelated filler page", ts(20)))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT in_id, match_id, est_sim FROM wmkver").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.map(_._1).toSet == Set(100L), s"expected the near-dup window to emit, got ${rows.mkString}")
+      assert(rows.head._2 == 7L && rows.head._3 >= cfg.threshold)
+    } finally q.stop()
+  }
+
   test("streaming signatures equal batch signatures (same pinned family)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
