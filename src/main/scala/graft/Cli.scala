@@ -70,12 +70,20 @@ object Cli {
     config.put("output", if (outPath.isEmpty) "results/matches.csv" else outPath)
 
     if (ask(in, out, "\nConfigure advanced options? (y/n) [n]: ").toLowerCase == "y") {
-      val th = ask(in, out, "Match threshold (0-1) [0.85]: ")
-      val un = ask(in, out, "Undecided range (0-1) [0.05]: ")
+      // non-numeric input falls back to the documented default rather
+      // than killing the wizard (and the user's answers so far)
+      def num(prompt: String): Option[Double] = {
+        val s = ask(in, out, prompt)
+        val v = s.toDoubleOption
+        if (s.nonEmpty && v.isEmpty) out.println(s"✗ Not a number: '$s' — keeping the default.")
+        v
+      }
+      val th = num("Match threshold (0-1) [0.85]: ")
+      val un = num("Undecided range (0-1) [0.05]: ")
       if (th.nonEmpty || un.nonEmpty) {
         val mc = mapper.createObjectNode()
-        if (th.nonEmpty) mc.put("threshold", th.toDouble)
-        if (un.nonEmpty) mc.put("undecided_range", un.toDouble)
+        th.foreach(mc.put("threshold", _))
+        un.foreach(mc.put("undecided_range", _))
         config.set[ObjectNode]("match_config", mc)
       }
     }
@@ -95,14 +103,20 @@ object Cli {
 
     def jobPath(name: String): Path = jobsDir.resolve(s"$name.json")
 
-    def list(): Seq[(String, String)] =
-      Files.list(jobsDir).iterator().asScala.toSeq
-        .filter(_.toString.endsWith(".json")).sortBy(_.toString)
+    def list(): Seq[(String, String)] = {
+      // Files.list holds a directory handle until closed — drain it
+      // inside try/finally or a long-lived menu session leaks fds
+      val stream = Files.list(jobsDir)
+      val paths =
+        try stream.iterator().asScala.toVector
+        finally stream.close()
+      paths.filter(_.toString.endsWith(".json")).sortBy(_.toString)
         .map { p =>
           val n = mapper.readTree(Files.readString(p))
           (n.path("name").asText(p.getFileName.toString.stripSuffix(".json")),
             n.path("description").asText(""))
         }
+    }
 
     def save(name: String, description: String, config: ObjectNode): Unit = {
       val job = mapper.createObjectNode()
@@ -179,8 +193,15 @@ object Cli {
           else out.println(s"Job '$name' not found.")
         case "5" =>
           val name = ask(in, out, "Job name to run: ")
-          store.run(spark, name)
-          out.println("Done!")
+          // a typo'd name or a failing job must re-prompt (reference
+          // cli_ui catches per-action errors), not kill the menu loop
+          try {
+            store.run(spark, name)
+            out.println("Done!")
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              out.println(s"✗ Job '$name' failed: ${e.getMessage}")
+          }
         case "6" =>
           val name = ask(in, out, "Job name: ")
           store.get(name) match {

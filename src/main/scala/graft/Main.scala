@@ -151,6 +151,10 @@ object Main {
         if (cc.generateSummary)
           Sources.write(Sources.clusterSummary(out),
             cfg.output.copy(path = cfg.output.path.map(_ + "_summary")))
+        // free the CC label checkpoints behind the result: a long-lived
+        // session running many jobs (--ui loop) must not accumulate
+        // MEMORY_AND_DISK blocks per run
+        Dedup.release(out)
 
       case _ => // matching
         val s1 = Sources.read(spark, cfg.source1.get)

@@ -151,7 +151,12 @@ object JobConfig {
   // ------------------------------------------------------------ pieces
 
   private def isFileLike(s: String): Boolean =
-    s.startsWith("s3://") || s.startsWith("s3a://") ||
+    // any URI scheme (s3://, hdfs://, gs://, abfs://, file:/...) or
+    // path separator marks a path — a SQL table name can contain
+    // neither, so this can't misroute a real table, while a remote or
+    // extensionless dataset path (which Files.exists can never see —
+    // it checks the DRIVER'S local fs) is never misread as a table
+    s.contains("://") || s.startsWith("file:") || s.contains("/") ||
       s.endsWith(".csv") || s.endsWith(".parquet") || s.endsWith(".json") ||
       java.nio.file.Files.exists(java.nio.file.Paths.get(s))
 

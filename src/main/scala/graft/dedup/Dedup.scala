@@ -90,6 +90,21 @@ final case class DedupConfig(
   require(candidateMode == "pairs" || candidateMode == "star",
     s"unknown candidateMode $candidateMode")
   require(numHashes == bands * rowsPerBand, "numHashes must equal bands*rowsPerBand")
+
+  /** Can signatures/verify artifacts built under `base` be probed with
+    * THIS config? The hash-family fields must match exactly (a seed or
+    * shingle mismatch makes cross candidates silently empty — never
+    * wrong-but-plausible, just zero merges), and exact verify can only
+    * be requested if the base actually shipped shingle-hash sets
+    * (otherwise `array_jaccard(null, _)` nulls out every cross pair).
+    * Threshold/topology knobs may differ: they change which pairs
+    * verify, not what the stored artifacts mean.
+    */
+  def signatureCompatible(base: DedupConfig): Boolean =
+    shingleK == base.shingleK && charShingles == base.charShingles &&
+      numHashes == base.numHashes && bands == base.bands &&
+      rowsPerBand == base.rowsPerBand && seed == base.seed &&
+      (!exactVerify || base.exactVerify)
 }
 
 /** Clustered-corpus snapshot for incremental dedup: the full
@@ -99,7 +114,7 @@ final case class DedupConfig(
   * merge a new crawl batch without recomputing old-old pairs.
   */
 final case class ClusterState(assignments: DataFrame, signatures: DataFrame,
-    retained: Seq[DataFrame] = Nil) {
+    cfg: DedupConfig, retained: Seq[DataFrame] = Nil) {
   /** Free every persisted signature generation in the chain plus the
     * label checkpoints, once the state (or the successor chain built
     * from it) is fully consumed. `retained` tracks the chain's
@@ -154,8 +169,16 @@ object Dedup {
   // ------------------------------------------------- signature table
 
   /** Narrow per-document signature table:
-    * (id, sig array<long>, simhash long, shingles array<long> hashes).
+    * (id, sig array<long>, simhash long, shingles array<long> hashes,
+    * th1/th2 128-bit content hash of the normalized text).
     * This is the checkpointable resume point (see io.Warehouse).
+    *
+    * th1/th2 exist for CROSS-corpus exact merges (incremental dedup):
+    * a document too short to shingle has a NULL sig and can never
+    * collide in a band, but an identical copy on the other side of a
+    * batch boundary must still merge — the content hash is the only
+    * signature such documents have. Same dual-xxhash64 family as the
+    * exact-collapse stage, so exact semantics agree everywhere.
     */
   def signatures(df0: DataFrame, idCol: String, textCol: String,
       cfg: DedupConfig = DedupConfig()): DataFrame = {
@@ -172,7 +195,8 @@ object Dedup {
         minhash_signature(sh, cfg.numHashes, cfg.seed).as("sig"),
         simhash64(ws_tokens(text), cfg.seed).as("simhash"),
         (if (cfg.exactVerify) array_distinct(transform(sh, s => xxhash64(s)))
-        else lit(null).cast("array<long>")).as("shingle_hashes"))
+        else lit(null).cast("array<long>")).as("shingle_hashes"),
+        xxhash64(text).as("th1"), xxhash64(text, lit(1)).as("th2"))
     } else {
       // hot path: fused one-pass kernels (byte-identical to the
       // word_shingles composition; shingles are contiguous byte ranges
@@ -182,7 +206,8 @@ object Dedup {
         minhash_words(text, cfg.shingleK, cfg.numHashes, cfg.seed).as("sig"),
         simhash_words(text, cfg.seed).as("simhash"),
         (if (cfg.exactVerify) shingle_hashes(text, cfg.shingleK)
-        else lit(null).cast("array<long>")).as("shingle_hashes"))
+        else lit(null).cast("array<long>")).as("shingle_hashes"),
+        xxhash64(text).as("th1"), xxhash64(text, lit(1)).as("th2"))
     }
   }
 
@@ -379,7 +404,7 @@ object Dedup {
     val assignments = df.select(col(idCol).cast("long").as("id"))
       .join(labels, Seq("id"), "left")
       .select($"id", coalesce($"cluster_id", $"id").as("cluster_id"))
-    ClusterState(assignments, sigs)
+    ClusterState(assignments, sigs, cfg)
   }
 
   /** Cross-corpus LSH candidates: every (new id, old id) pair that
@@ -437,6 +462,11 @@ object Dedup {
     */
   def addBatch(state: ClusterState, newDocs: DataFrame, idCol: String, textCol: String,
       cfg: DedupConfig = DedupConfig()): ClusterState = {
+    // a seed/shingle mismatch (or exactVerify over a base that shipped
+    // no shingle sets) makes every cross pair silently null out — zero
+    // batch-to-base merges with no error. Refuse instead.
+    require(cfg.signatureCompatible(state.cfg),
+      s"batch config cannot probe the base state's signatures: base=${state.cfg}, batch=$cfg")
     val (exactEdges, newSigs, free) = collapseAndSign(newDocs, idCol, textCol, cfg)
     val nn = verifyPairs(lshCandidates(newSigs, cfg), newSigs, cfg)
       .select($"id1".as("u"), $"id2".as("v"))
@@ -445,9 +475,19 @@ object Dedup {
     // is bucketed by id so only probed buckets ship — see ARCHITECTURE)
     val no = verifyPairs(crossCandidates(newSigs, state.signatures, cfg),
       newSigs.unionByName(state.signatures), cfg)
+    // cross-boundary EXACT merges by content hash: a doc too short to
+    // shingle has a NULL sig — bands can never surface its identical
+    // twin on the base side, but a full recompute's exact collapse
+    // would merge them. The hash equi-join restores that equivalence
+    // (identical-content pairs with real sigs also land here — a
+    // harmless duplicate of their jaccard=1.0 verified pair).
+    val crossExact = newSigs.select($"th1", $"th2", $"id".as("id1"))
+      .join(state.signatures.select($"th1", $"th2", $"id".as("id2")), Seq("th1", "th2"))
+      .select($"id1", $"id2")
     // an edge to an old document is an edge to its cluster root: CC
     // never touches base-corpus members, only roots
-    val noEdges = no.join(state.assignments.withColumnRenamed("id", "id2"), Seq("id2"))
+    val noEdges = no.select($"id1", $"id2").union(crossExact)
+      .join(state.assignments.withColumnRenamed("id", "id2"), Seq("id2"))
       .select($"id1".as("u"), $"cluster_id".as("v"))
     // eager pair materialization before CC — same rationale as in
     // clusterState (CC references the edge pipeline from four branches)
@@ -466,8 +506,12 @@ object Dedup {
     val newFinal = newDocs.select(col(idCol).cast("long").as("id"))
       .join(roots.withColumnRenamed("_r", "id"), Seq("id"), "left")
       .select($"id", coalesce($"_newRoot", $"id").as("cluster_id"))
+    // the successor state's verify capability is the WEAKEST in the
+    // chain: a batch signed without shingle sets leaves nulls in the
+    // signature union, so a later exactVerify merge must be refused
     ClusterState(oldFinal.unionByName(newFinal),
       state.signatures.unionByName(newSigs),
+      state.cfg.copy(exactVerify = state.cfg.exactVerify && cfg.exactVerify),
       retained = (state.signatures +: state.retained) :+ newSigs)
   }
 
@@ -521,6 +565,14 @@ object Dedup {
     var exploded = sigs.select($"id", $"simhash", posexplode(blocks).as(Seq("blk", "bv")))
 
     var hotEdges: Option[DataFrame] = None
+    // with the guard on, the exploded block table feeds FOUR subtrees
+    // (hot detection, the marker join, hubs, the cold self-join) — one
+    // small persist keeps the upstream signature projection from
+    // recomputing per subtree; freed when the first action completes
+    val persisted = if (maxBucket > 0)
+      Some(exploded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    else None
+    persisted.foreach(p => exploded = p)
     if (maxBucket > 0) {
       // same degrade-to-star pattern as the LSH maxBandBucket guard
       val hot = exploded.groupBy($"blk", $"bv").count()
@@ -543,10 +595,14 @@ object Dedup {
     val cold = a.join(b, Seq("blk", "bv"))
       .where($"id1" < $"id2")
       .select($"id1", $"id2", $"h1", $"h2")
-    hotEdges.map(cold.unionAll(_)).getOrElse(cold)
+    val out = hotEdges.map(cold.unionAll(_)).getOrElse(cold)
       .select($"id1", $"id2", bit_count($"h1".bitwiseXOR($"h2")).as("hamming"))
       .where($"hamming" <= radius)
       .distinct()
+    persisted match {
+      case Some(p) => graft.CacheHygiene.releaseAfterAction(out, () => { p.unpersist(false); () })
+      case None => out
+    }
   }
 
   /** Per-block bucket-size distribution of the pigeonhole join — the
@@ -597,23 +653,35 @@ object Dedup {
     val norm = ensureParallel(df.select(col(idCol).cast("long").as("id"),
       Normalizers.normalizeString(col(textCol)).as("_t")))
     val fps0 = norm.select($"id", explode(winnow_fingerprint($"_t", k, window)).as("fp"))
+    // With the DF guard on, fps0 (the expensive winnowing kernel over
+    // every document) is referenced from TWO subtrees (the hot
+    // aggregate and the left_anti) before the self-join's two more —
+    // persist it so the kernel runs once; blocks free when the first
+    // action on the result completes (recomputable, so a later action
+    // merely recomputes — see CacheHygiene).
+    val guarded = maxFpDf > 0
+    val fpsIn =
+      if (guarded) fps0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else fps0
     val fps =
-      if (maxFpDf <= 0) fps0
+      if (!guarded) fpsIn
       else {
-        val hot = broadcast(fps0.groupBy($"fp").agg(countDistinct($"id").as("df"))
+        val hot = broadcast(fpsIn.groupBy($"fp").agg(countDistinct($"id").as("df"))
           .where($"df" > maxFpDf).select($"fp"))
-        fps0.join(hot, Seq("fp"), "left_anti")
+        fpsIn.join(hot, Seq("fp"), "left_anti")
       }
     val cand = fps.as("a").join(fps.as("b"), Seq("fp"))
       .where($"a.id" < $"b.id")
       .groupBy($"a.id".as("id1"), $"b.id".as("id2"))
       .agg(count(lit(1)).as("shared_fps"))
       .where($"shared_fps" >= minShared)
-    cand.join(norm.select($"id".as("id1"), $"_t".as("t1")), "id1")
+    val out = cand.join(norm.select($"id".as("id1"), $"_t".as("t1")), "id1")
       .join(norm.select($"id".as("id2"), $"_t".as("t2")), "id2")
       .select($"id1", $"id2", $"shared_fps",
         longest_common_substring($"t1", $"t2").as("lcs_len"))
       .where($"lcs_len" >= minSpan)
+    if (guarded) graft.CacheHygiene.releaseAfterAction(out, () => { fpsIn.unpersist(false); () })
+    else out
   }
 
   // ------------------------------------------------ n-gram jaccard

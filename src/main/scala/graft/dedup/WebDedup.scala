@@ -19,12 +19,22 @@ import graft.norm.Normalizers
   */
 object WebDedup {
 
+  /** The fields that pin what a committed SIGNATURE table means (hash
+    * family + shingling). The leading v-token is the table-schema
+    * version: bumping it invalidates every warehouse committed under an
+    * older schema (v2 added th1/th2 content hashes), so a resume can
+    * never read a table missing columns the current code selects.
+    */
+  def signatureFamily(cfg: DedupConfig): String =
+    s"v2k${cfg.shingleK}_c${cfg.charShingles}_h${cfg.numHashes}_b${cfg.bands}" +
+      s"_r${cfg.rowsPerBand}_s${cfg.seed}"
+
   /** Pinned-config fingerprint: any change invalidates downstream
     * checkpoints (getOrCreate rebuilds on mismatch).
     */
   def fingerprint(cfg: DedupConfig): String =
-    s"k${cfg.shingleK}_c${cfg.charShingles}_h${cfg.numHashes}_b${cfg.bands}" +
-      s"_r${cfg.rowsPerBand}_s${cfg.seed}_t${cfg.threshold}_e${cfg.exactVerify}_m${cfg.maxBandBucket}" +
+    signatureFamily(cfg) +
+      s"_t${cfg.threshold}_e${cfg.exactVerify}_m${cfg.maxBandBucket}" +
       s"_sh${cfg.simhashRadius}_sp${cfg.spanMinSpan}.${cfg.spanK}.${cfg.spanWindow}" +
       s".${cfg.spanMinShared}.${cfg.spanMaxFpDf}"
 
@@ -219,6 +229,17 @@ object WebDedup {
       case (Some(a), Some(b)) => a + "." + b
       case _ => sys.error(s"base generation ${gen - 1} is not committed under ${wh.root}")
     }
+    // the base chain must carry signatures THIS config can probe: a
+    // seed/shingle mismatch empties every cross candidate silently, and
+    // exactVerify over a base committed without shingle sets nulls out
+    // every cross similarity — both would "succeed" with zero merges
+    val baseFp = wh.fingerprintOf(baseSigsN).getOrElse("")
+    require(baseFp.startsWith(signatureFamily(cfg) + "_"),
+      s"base generation ${gen - 1} was committed under a different signature family: " +
+        s"base fingerprint '$baseFp' vs batch family '${signatureFamily(cfg)}'")
+    require(!cfg.exactVerify || baseFp.contains("_etrue"),
+      "exactVerify batch merge needs a base committed with exactVerify=true " +
+        "(the base signature table carries no shingle-hash sets)")
     // chain fingerprint: config + batch content + base snapshot ids —
     // a changed base (or batch, or config) invalidates every stage
     val fp = fingerprint(cfg) + "_b" + inputId.getOrElse(inputSnapshot(batch)) + "_base" + baseId
@@ -254,9 +275,18 @@ object WebDedup {
         .select($"id1".as("u"), $"id2".as("v"))
       val no = Dedup.verifyPairs(Dedup.crossCandidates(batchSigs, baseSigs, cfg),
         batchSigs.unionByName(baseSigs), cfg)
+      // cross-boundary EXACT merges by content hash: a too-short-to-
+      // shingle doc has a NULL sig and never collides in a band, but a
+      // full recompute's exact collapse merges its identical base twin
+      // — the hash equi-join restores that equivalence (see
+      // Dedup.addBatch)
+      val crossExact = batchSigs.select($"th1", $"th2", $"id".as("id1"))
+        .join(baseSigs.select($"th1", $"th2", $"id".as("id2")), Seq("th1", "th2"))
+        .select($"id1", $"id2")
       val baseAssign = wh.read(baseClustersN)
         .select($"page_id".as("id2"), $"cluster_id".as("_root"))
-      val noEdges = no.join(baseAssign, Seq("id2"))
+      val noEdges = no.select($"id1", $"id2").union(crossExact)
+        .join(baseAssign, Seq("id2"))
         .select($"id1".as("u"), $"_root".as("v"))
       exactEdges.union(nn).union(noEdges)
     }

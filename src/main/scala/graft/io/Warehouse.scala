@@ -38,6 +38,7 @@ final class Warehouse(val root: String, spark: SparkSession) {
 
   private val snapRe = """"snapshot": "([0-9a-f]+)"""".r
   private val parentSnapRe = """"parent_snapshot": (?:"([0-9a-f]+)"|null)""".r
+  private val fpRe = """"fingerprint": "([^"]*)"""".r
 
   private def readString(p: HPath): String = {
     val in = fs.open(p)
@@ -55,6 +56,14 @@ final class Warehouse(val root: String, spark: SparkSession) {
   def snapshotOf(name: String): Option[String] =
     if (!fs.exists(manifestPath(name))) None
     else snapRe.findFirstMatchIn(readString(manifestPath(name))).map(_.group(1))
+
+  /** The fingerprint a table was committed under, if any — lets a
+    * dependent pipeline validate COMPATIBILITY with an existing base
+    * (e.g. same signature family) rather than blindly reading it.
+    */
+  def fingerprintOf(name: String): Option[String] =
+    if (!fs.exists(manifestPath(name))) None
+    else fpRe.findFirstMatchIn(readString(manifestPath(name))).map(_.group(1))
 
   /** A stage is resumable only if its fingerprint matches AND the
     * parent snapshot it was built from is still the parent's current

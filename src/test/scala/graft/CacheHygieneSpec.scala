@@ -71,6 +71,17 @@ class CacheHygieneSpec extends AnyFunSuite {
     eventuallyEmptyBeyond(before, "WebDedup.run")
   }
 
+  test("guarded simhash/span paths free their working persists after the first action") {
+    val before = persistedIds
+    val sigs = Dedup.signatures(docs, "doc_id", "text")
+    // guards ON: both paths persist an intermediate (exploded blocks /
+    // fingerprint table) and must free it via the first-action listener
+    assert(Dedup.simhashPairs(sigs, radius = 3, maxBucket = 5).count() >= 0)
+    eventuallyEmptyBeyond(before, "guarded simhashPairs")
+    assert(Dedup.sharedSpanPairs(docs, "doc_id", "text", maxFpDf = 5).count() >= 0)
+    eventuallyEmptyBeyond(before, "guarded sharedSpanPairs")
+  }
+
   test("inline ivfTopK leaves no persisted blocks (driver-local centroids)") {
     val before = persistedIds
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -94,4 +94,36 @@ class CliSpec extends AnyFunSuite {
     Cli.ui(reader("9", "7"), out, spark, dir.resolve("jobs"))
     assert(bos.toString("UTF-8").contains("Invalid option. Please select 1-7."))
   }
+
+  test("running an unknown or failing job re-prompts instead of killing the menu") {
+    val spark = SparkTestBase.spark
+    val dir = Files.createTempDirectory("ui3")
+    val (out, bos) = sink()
+    // 5 with a typo'd name, then create a job whose config points at a
+    // missing csv, run it (fails inside the engine), then exit cleanly
+    val in = reader(
+      "5", "nope",
+      "1", "bad", "points at a missing file",
+      "csv", dir.resolve("missing.csv").toString, "csv",
+      dir.resolve("missing2.csv").toString, dir.resolve("o.csv").toString, "n",
+      "5", "bad",
+      "7")
+    Cli.ui(in, out, spark, dir.resolve("jobs"))
+    val printed = bos.toString("UTF-8")
+    assert(printed.contains("✗ Job 'nope' failed:"))
+    assert(printed.contains("✗ Job 'bad' failed:"))
+  }
+
+  test("--setup advanced options survive non-numeric input (default kept)") {
+    val dir = Files.createTempDirectory("setup2")
+    val cfgPath = dir.resolve("cfg.json").toString
+    val (out, bos) = sink()
+    val in = reader("csv", "a.csv", "csv", "b.csv", "out.csv", "y", "0,9", "0.1")
+    Cli.setupConfig(in, out, cfgPath)
+    assert(bos.toString("UTF-8").contains("Not a number: '0,9'"))
+    val cfg = JobConfig.parseFile(cfgPath)
+    assert(cfg.matchConfig.threshold == 0.75,
+      "bad threshold input writes no key -> engine default (config_validator.py default)")
+    assert(cfg.matchConfig.undecidedRange == 0.1, "the valid answer is still honored")
+  }
 }

@@ -127,6 +127,25 @@ class JobConfigSpec extends AnyFunSuite {
     assert(cfg.source1.get.table.contains("people"))
   }
 
+  test("table-vs-path heuristic: remote/extensionless paths never route to JDBC") {
+    // with mysql_credentials present, a bare name is a table, but any
+    // URI scheme or path separator marks a dataset path — Files.exists
+    // checks the driver's LOCAL fs and can never see cluster paths
+    val cfg = JobConfig.parse(
+      """{"source1": "people", "source2": "hdfs:///data/pages",
+        | "output": "o.csv", "mysql_credentials":
+        | {"host": "h", "user": "u", "password": "p", "database": "d"}}""".stripMargin)
+    assert(cfg.source1.get.isJdbc, "bare name + creds is a table")
+    assert(cfg.source2.get.path.contains("hdfs:///data/pages"),
+      "an hdfs:// URI must stay a path even with creds configured")
+    val cfg2 = JobConfig.parse(
+      """{"source1": "people", "source2": "data/extensionless_dir",
+        | "output": "o.csv", "mysql_credentials":
+        | {"host": "h", "user": "u", "password": "p", "database": "d"}}""".stripMargin)
+    assert(cfg2.source2.get.path.contains("data/extensionless_dir"),
+      "a relative path with a separator must stay a path")
+  }
+
   test("threshold bounds enforced") {
     val e = intercept[IllegalArgumentException] {
       JobConfig.parse(

@@ -333,6 +333,72 @@ class WebDedupSpec extends AnyFunSuite {
     assert(g2 == full, "two chained generations must equal full recompute")
   }
 
+  test("incremental: identical EMPTY docs merge across the batch boundary (null-sig exact path)") {
+    import spark.implicits._
+    // empty normalized text => NULL MinHash sig => no band can ever
+    // surface the cross pair; the content-hash exact path must merge
+    // them exactly like a full recompute's exact collapse does
+    val grp = (1 to 30).map(i => s"gm$i").mkString(" ")
+    val docs = Seq(
+      (1L, ""), (2L, "   "),          // base empties (normalize to "")
+      (3L, grp), (4L, grp + " zz"),   // a normal near-dup group
+      (11L, ""),                      // batch empty
+      (13L, grp + " yy")).toDF("id", "text")
+    val full = Dedup.nearDupClusters(docs, "id", "text", cfg)
+      .select(col("id"), col("cluster_id"), col("cluster_size")).as[(Long, Long, Long)].collect().toSet
+    val st0 = Dedup.clusterState(docs.where(col("id") < 10), "id", "text", cfg)
+    val st1 = Dedup.addBatch(st0, docs.where(col("id") > 10), "id", "text", cfg)
+    val inc = Dedup.stateClusters(st1).as[(Long, Long, Long)].collect().toSet
+    assert(inc == full, "batch empty doc must join the base empties' cluster")
+    assert(inc.exists { case (id, c, n) => id == 11L && c == 1L && n == 3 })
+    st1.release()
+
+    // staged twin through the warehouse
+    val base = docs.where(col("id") < 10).withColumnRenamed("id", "page_id")
+      .withColumn("url", concat(lit("https://x.test/"), col("page_id")))
+    val batch = docs.where(col("id") > 10).withColumnRenamed("id", "page_id")
+      .withColumn("url", concat(lit("https://x.test/"), col("page_id")))
+    val root = java.nio.file.Files.createTempDirectory("wh").toString
+    WebDedup.run(base, new Warehouse(root, spark), cfg)
+    val merged = WebDedup.addBatch(batch, new Warehouse(root, spark), cfg, gen = 1)
+      .select(col("page_id"), col("cluster_id"), col("cluster_size")).as[(Long, Long, Long)].collect().toSet
+    assert(merged == full, "staged addBatch must merge cross-boundary empties too")
+  }
+
+  test("incremental: an incompatible batch config is refused, not silently zero-merge") {
+    import spark.implicits._
+    val grp = (1 to 30).map(i => s"cfgv$i").mkString(" ")
+    val docs = Seq((1L, grp), (2L, grp + " zz")).toDF("id", "text")
+    val st = Dedup.clusterState(docs, "id", "text", cfg)
+    // different seed: cross candidates could never collide
+    intercept[IllegalArgumentException] {
+      Dedup.addBatch(st, Seq((9L, grp + " yy")).toDF("id", "text"), "id", "text",
+        cfg.copy(seed = 7L))
+    }
+    // exactVerify over a base without shingle sets: every cross sim nulls
+    val stEst = Dedup.clusterState(docs, "id", "text", cfg.copy(exactVerify = false))
+    intercept[IllegalArgumentException] {
+      Dedup.addBatch(stEst, Seq((9L, grp + " yy")).toDF("id", "text"), "id", "text",
+        cfg.copy(exactVerify = true))
+    }
+    st.release(); stEst.release()
+
+    // staged twin: the base fingerprint in the manifest carries the
+    // family; a mismatched batch family must be refused up front
+    val base = docs.withColumnRenamed("id", "page_id")
+      .withColumn("url", concat(lit("https://x.test/"), col("page_id")))
+    val root = java.nio.file.Files.createTempDirectory("wh").toString
+    WebDedup.run(base, new Warehouse(root, spark), cfg.copy(exactVerify = false))
+    val batch = Seq((9L, grp + " yy")).toDF("page_id", "text")
+      .withColumn("url", concat(lit("https://x.test/"), col("page_id")))
+    intercept[IllegalArgumentException] {
+      WebDedup.addBatch(batch, new Warehouse(root, spark), cfg.copy(seed = 7L), gen = 1)
+    }
+    intercept[IllegalArgumentException] {
+      WebDedup.addBatch(batch, new Warehouse(root, spark), cfg.copy(exactVerify = true), gen = 1)
+    }
+  }
+
   test("result is independent of input partitioning (shuffle determinism)") {
     val wh1 = new Warehouse(java.nio.file.Files.createTempDirectory("wh").toString, spark)
     val wh2 = new Warehouse(java.nio.file.Files.createTempDirectory("wh").toString, spark)
