@@ -164,18 +164,27 @@ object Bench {
       return
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // 32 groups = 1.28M docs at sf0.1: large enough that the job's
-    // ~29 s serial tail (stage barriers + CC rounds, measured via
-    // t1 = W + S, t4 = W/4 + S at 640k) amortizes toward the 0.8
-    // efficiency bar — the corpus-size lever, not a protocol trick;
-    // the tail keeps shrinking as a fraction at every larger scale
+    // 32 groups = 1.28M docs at sf0.1 for the absolute-throughput
+    // headline + incremental merge. The SCALING pair runs on a half
+    // corpus (640k): the AQE-herd fixes cut the serial tail enough to
+    // meet the 0.8 bar there (same-day pristine A/B: t4 89.1 s vs
+    // 169.6 s pre-fix, efficiency 0.864 — docs/ARCHITECTURE.md
+    // decision 12), and the cheaper levels buy TWO interleave rounds,
+    // which is what makes the number burst-robust on this host
+    // (measured same-job spread 62-96 s across invocations).
     val groups = sys.env.getOrElse("SPARK_GRAFT_BENCH_GROUPS", "32").toInt
     val reps = 8
     val corpusPath = "/tmp/graft_bench_corpus"
+    val scalingGroups = math.max(groups / 2, 1)
+    val scalingPath = "/tmp/graft_bench_corpus_scaling"
 
     // corpus prep + JIT warm-up (untimed; same JVM keeps the JIT state)
     var spark = session(CoresMax)
     val nDocs = buildCorpus(spark, sfDir, groups, reps, corpusPath)
+    val nScalingDocs =
+      if (scalingGroups == groups) nDocs
+      else buildCorpus(spark, sfDir, scalingGroups, reps, scalingPath)
+    val scalingCorpus = if (scalingGroups == groups) corpusPath else scalingPath
     Dedup.nearDupClusters(
       spark.read.parquet(corpusPath).limit(2000), "doc_id", "text", benchCfg).count()
     spark.stop()
@@ -196,18 +205,17 @@ object Bench {
     // bursty on multi-minute windows, so two back-to-back runs of one
     // level share the same burst.
     spark.stop()
-    // one interleave round at the big default corpus (the lo/hi RATIO
-    // proved burst-robust: bursts inflate both levels of a round
-    // together); two rounds when a small corpus keeps them cheap
-    val scalingRounds = if (nDocs >= 1000000) 1 else 2
+    // two interleave rounds at the half corpus; one when an env
+    // override makes the scaling corpus itself >= 1M docs
+    val scalingRounds = if (nScalingDocs >= 1000000) 1 else 2
     val runs = for (_ <- 1 to scalingRounds) yield
-      (levelInSubJvm(CoresLo, corpusPath), levelInSubJvm(CoresHi, corpusPath))
+      (levelInSubJvm(CoresLo, scalingCorpus), levelInSubJvm(CoresHi, scalingCorpus))
     val tLo = runs.map(_._1).min
     val tHi = runs.map(_._2).min
     val samplesJson = runs.map { case (l, h) => f"[$l%.2f,$h%.2f]" }.mkString("[", ",", "]")
 
-    val thrLo = nDocs / tLo
-    val thrHi = nDocs / tHi
+    val thrLo = nScalingDocs / tLo
+    val thrHi = nScalingDocs / tHi
     val efficiency = (tLo / tHi) / (CoresHi.toDouble / CoresLo)
 
     // ---- absolute-throughput headline at all threads (min-of-2, like
@@ -274,24 +282,27 @@ object Bench {
       "match_scored_10kx10k" -> tMatchScored)
     val qJson = allQueries.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val json =
-      f"""{"metric":"dedup_docs_per_sec_${CoresMax}c","value":$thrMax%.1f,"unit":"docs/sec","queries":$qJson,"sf":"$sfDir","scaling":{"docs":$nDocs,"cores_lo":$CoresLo,"cores_hi":$CoresHi,"sec_lo":$tLo%.2f,"sec_hi":$tHi%.2f,"docs_per_sec_lo":$thrLo%.1f,"docs_per_sec_hi":$thrHi%.1f,"efficiency":$efficiency%.3f,"samples_lo_hi":$samplesJson}}"""
+      f"""{"metric":"dedup_docs_per_sec_${CoresMax}c","value":$thrMax%.1f,"unit":"docs/sec","queries":$qJson,"sf":"$sfDir","scaling":{"docs":$nScalingDocs,"cores_lo":$CoresLo,"cores_hi":$CoresHi,"sec_lo":$tLo%.2f,"sec_hi":$tHi%.2f,"docs_per_sec_lo":$thrLo%.1f,"docs_per_sec_hi":$thrHi%.1f,"efficiency":$efficiency%.3f,"samples_lo_hi":$samplesJson}}"""
     println(json)
 
     val md =
       f"""# BENCH — graft near-dup engine
          |
-         |Input: $nDocs%d docs ($groups dissimilar groups x $reps near-dup
-         |replicas over documents.parquet at `$sfDir`, deterministic). Job:
-         |full MinHash/LSH near-dup clustering (signatures -> banding ->
-         |verify -> connected components -> sizes), identical input at two
-         |parallelism levels — the sandbox form of the N -> 4N executor
-         |scaling criterion.
+         |Input: deterministic near-dup corpora scaled up from
+         |documents.parquet at `$sfDir` (dissimilar groups x $reps near-dup
+         |replicas). Job: full MinHash/LSH near-dup clustering
+         |(signatures -> banding -> verify -> connected components ->
+         |sizes). The scaling pair runs the identical job on the
+         |identical $nScalingDocs%d-doc corpus at two parallelism levels —
+         |the sandbox form of the N -> 4N executor scaling criterion;
+         |the absolute-throughput headline runs the $nDocs%d-doc corpus
+         |($groups groups) at all threads.
          |
-         || cores | seconds | docs/sec |
-         ||---|---|---|
-         || $CoresLo | $tLo%.2f | $thrLo%.1f |
-         || $CoresHi | $tHi%.2f | $thrHi%.1f |
-         || $CoresMax (headline) | $tMax%.2f | $thrMax%.1f |
+         || cores | docs | seconds | docs/sec |
+         ||---|---|---|---|
+         || $CoresLo | $nScalingDocs%d | $tLo%.2f | $thrLo%.1f |
+         || $CoresHi | $nScalingDocs%d | $tHi%.2f | $thrHi%.1f |
+         || $CoresMax (headline) | $nDocs%d | $tMax%.2f | $thrMax%.1f |
          |
          |Incremental merge (the per-crawl-snapshot operation): adding
          |the last 1/8 of the corpus ($nBatch%d docs, every one a near-dup
@@ -312,9 +323,12 @@ object Bench {
          |candidate stage scales ~3.9x at 4->16 while shuffle-bound verify
          |flattens), so the low-core pair is the honest proxy for adding
          |executors. The residual gap to 1.0 is the job's serial tail
-         |(~15 s of sequential stage barriers + CC rounds at any core
-         |count) which amortizes with corpus size — see
-         |docs/ARCHITECTURE.md for the measured breakdown.
+         |(sequential stage barriers + CC rounds at any core count),
+         |cut from ~29 s to ~16 s this round by materializing
+         |multi-consumer stage boundaries eagerly (the AQE lazy-cache
+         |thundering herd — docs/ARCHITECTURE.md decision 12); the tail
+         |is corpus-size-independent and keeps shrinking as a fraction
+         |at every larger scale.
          |Methodology: identical input; shuffle partitions pinned to
          |max(cores, 4). Each scaling level runs in its own PRISTINE
          |JVM (the faithful analogue of one spark-submit per cluster
