@@ -149,6 +149,32 @@ object SparkEntry {
       out
     },
 
+    "dedup_canonical" -> { (s, dir) =>
+      // the deduplicated-corpus projection: one survivor per near-dup
+      // cluster, longest text wins, ties to the lowest doc_id
+      val clustered = Dedup.nearDupClusters(t(s, dir, "documents"), "doc_id", "text",
+          DedupConfig(exactVerify = true))
+      Dedup.canonicalDocs(clustered, "doc_id", length($"text"))
+        .select($"doc_id".cast("long").as("doc_id"), $"cluster_id", $"cluster_size",
+          length($"text").cast("long").as("text_len"))
+    },
+
+    "dedup_url" -> { (s, dir) =>
+      // URL-level exact dedup: a messy raw variant (tracking params,
+      // WWW host label, default port, trailing slash, fragment) and its
+      // clean form cluster together under normalize_url
+      val d = t(s, dir, "documents").select($"doc_id")
+      val canon = concat(lit("http://site"), ($"doc_id" % 7).cast("string"),
+        lit(".com/p/"), $"doc_id".cast("string"))
+      val messy = concat(lit("HTTP://WWW.Site"), ($"doc_id" % 7).cast("string"),
+        lit(".COM:80/p/"), $"doc_id".cast("string"), lit("/?utm_campaign=x#top"))
+      val pages = d.select(($"doc_id" * 2).as("page_id"), canon.as("url"))
+        .unionAll(d.select(($"doc_id" * 2 + 1).as("page_id"), messy.as("url")))
+      Dedup.exactClusters(pages.withColumn("_u", Normalizers.normalizeUrl($"url")),
+          "page_id", "_u")
+        .select($"page_id".cast("long").as("page_id"), $"cluster_id", $"cluster_size")
+    },
+
     "dedup_simhash" -> { (s, dir) =>
       // reversed-token copies: same token multiset => identical SimHash
       // (hamming 0) while the text differs; corpus near-dup members are
@@ -382,6 +408,23 @@ object SparkEntry {
         Normalizers.normalizeName(rawName).as("norm_name"))
     },
 
+    "norm_url" -> { (s, dir) =>
+      // deterministic messy-URL fixture exercising every normalize_url
+      // rule: host/scheme case, www label, scheme-default ports,
+      // tracking-param removal, param sorting, trailing slash, fragment
+      val d = t(s, dir, "documents").select($"doc_id")
+      val raw = concat(
+        when($"doc_id" % 3 === 0, lit("HTTP://WWW.Example")).otherwise(lit("https://News.Site")),
+        ($"doc_id" % 7).cast("string"), lit(".COM"),
+        when($"doc_id" % 3 === 0, lit(":80"))
+          .when($"doc_id" % 3 === 1, lit(":443")).otherwise(lit("")),
+        lit("/Articles/"), $"doc_id".cast("string"),
+        when($"doc_id" % 2 === 0, lit("/")).otherwise(lit("")),
+        lit("?z=9&utm_source=feed&a="), ($"doc_id" % 5).cast("string"),
+        lit("&fbclid=XYZ#Section-2"))
+      d.select($"doc_id", raw.as("url_raw"), Normalizers.normalizeUrl(raw).as("url_norm"))
+    },
+
     // -------------------------------------------------------- multimodal
 
     "mm_decode" -> { (s, dir) =>
@@ -610,6 +653,31 @@ object SparkEntry {
          |)
          |SELECT id AS doc_id, min(r) AS cluster_id, count(*) AS cluster_size FROM reach GROUP BY id""".stripMargin,
 
+    // deduplicated-corpus projection: same recursive-CTE clustering,
+    // survivor = longest text, ties to lowest doc_id
+    "dedup_canonical" ->
+      s"""WITH RECURSIVE ${jaccardCtes(5)},
+         |pairs AS (SELECT i, j FROM pj WHERE jac >= 0.8),
+         |edges AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT e.b AS id, reach.r FROM reach JOIN edges e ON e.a = reach.id
+         |),
+         |cl AS (SELECT id AS doc_id, min(r) AS cluster_id, count(*) AS cluster_size FROM reach GROUP BY id)
+         |SELECT cl.doc_id, cl.cluster_id, cl.cluster_size,
+         |       CAST(length(d.text) AS BIGINT) AS text_len
+         |FROM cl JOIN documents d ON d.doc_id = cl.doc_id
+         |QUALIFY row_number() OVER (PARTITION BY cl.cluster_id ORDER BY length(d.text) DESC, cl.doc_id) = 1""".stripMargin,
+
+    // closed-form expected output: each page's messy and clean URL
+    // variants normalize to one key, so clusters are exactly the
+    // (2*doc_id, 2*doc_id+1) pairs
+    "dedup_url" ->
+      """SELECT doc_id*2 AS page_id, doc_id*2 AS cluster_id, CAST(2 AS BIGINT) AS cluster_size FROM documents
+        |UNION ALL
+        |SELECT doc_id*2+1, doc_id*2, CAST(2 AS BIGINT) FROM documents""".stripMargin,
+
     "dedup_simhash" ->
       s"""WITH $dupIdsCtes,
          |base AS (SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM dup))
@@ -741,6 +809,21 @@ object SparkEntry {
         |       WHEN c_custkey%3 = 1 THEN 'Margaret Taylor'
         |       ELSE 'William Gates' END AS norm_name
         |FROM customer""".stripMargin,
+
+    // closed-form expected output of every normalize_url rule on the
+    // deterministic messy fixture (raw string built identically here
+    // and in the query)
+    "norm_url" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id%3=0 THEN 'HTTP://WWW.Example' ELSE 'https://News.Site' END
+        |    || (doc_id%7) || '.COM'
+        |    || CASE WHEN doc_id%3=0 THEN ':80' WHEN doc_id%3=1 THEN ':443' ELSE '' END
+        |    || '/Articles/' || doc_id || CASE WHEN doc_id%2=0 THEN '/' ELSE '' END
+        |    || '?z=9&utm_source=feed&a=' || (doc_id%5) || '&fbclid=XYZ#Section-2' AS url_raw,
+        |  CASE WHEN doc_id%3=0 THEN 'http://example' ELSE 'https://news.site' END
+        |    || (doc_id%7) || '.com/Articles/' || doc_id
+        |    || '?a=' || (doc_id%5) || '&z=9' AS url_norm
+        |FROM documents""".stripMargin,
 
     "mm_decode" ->
       """WITH a AS (SELECT doc_id AS asset_id, CAST(octet_length(encode(text)) AS BIGINT) AS n

@@ -315,6 +315,42 @@ object Dedup {
       .join(st.assignments.join(sizes, "cluster_id").withColumnRenamed("id", idCol), idCol)
   }
 
+  /** One surviving row per cluster — the "deduplicated corpus"
+    * projection a training pipeline actually consumes downstream.
+    * Input is a clustered table as produced by [[nearDupClusters]] /
+    * [[exactClusters]] / [[stateClusters]] (doc columns + cluster_id).
+    * Survivor = the row with the HIGHEST `prefer` value (numeric;
+    * e.g. `length($"text")` to keep the most content, or
+    * `-unix_timestamp($"warc_ts")` to keep the earliest crawl);
+    * ties break to the lowest id, so the choice is deterministic.
+    *
+    * Scale shape: a single min_by aggregate over one shuffle on
+    * cluster_id — partial-aggregation-friendly (map-side combine keeps
+    * one candidate row per cluster per partition, asserted in
+    * DedupCanonicalSpec), no window over cluster members, so a
+    * boilerplate mega-cluster reduces through combine chains instead
+    * of materializing + sorting in a single window task.
+    */
+  def canonicalDocs(clustered: DataFrame, idCol: String, prefer: Column): DataFrame = {
+    val docCols = clustered.columns.filter(_ != "cluster_id")
+    clustered.groupBy(col("cluster_id"))
+      // min over (-prefer, id): max prefer, ties to min id. The id is
+      // the struct's second slot, so any orderable id type works.
+      .agg(min_by(struct(docCols.map(col): _*),
+        struct(negate(prefer).as("_p"), col(idCol).as("_t"))).as("_doc"))
+      .select(docCols.map(n => col(s"_doc.$n")) :+ col("cluster_id"): _*)
+  }
+
+  /** nearDupClusters + canonicalDocs in one call: the deduplicated
+    * corpus (every input column + cluster_id + cluster_size, one row
+    * per near-dup cluster). Default survivor policy: longest text.
+    */
+  def dedupedCorpus(df: DataFrame, idCol: String, textCol: String,
+      cfg: DedupConfig = DedupConfig(), prefer: Column = null): DataFrame = {
+    val p = Option(prefer).getOrElse(length(col(textCol)))
+    canonicalDocs(nearDupClusters(df, idCol, textCol, cfg), idCol, p)
+  }
+
   /** In-batch exact collapse in the hash-rep join shape (same as
     * exactClusters): group on a 128-bit content hash — never on the raw
     * text (the full corpus would ride the shuffle as key bytes) and

@@ -86,6 +86,44 @@ object Normalizers {
     * bounded-compat.
     */
 
+  /** URL canonicalization for web-page dedup (no reference analogue —
+    * the training-data brief's web payload makes URL-level exact dedup
+    * a first-class pass before any content pass). Deterministic RFC
+    * 3986-style normalization, pure codegen'd Column composition:
+    *  - trim; drop the #fragment;
+    *  - lowercase scheme://authority (path/query case is preserved —
+    *    it is significant on most servers);
+    *  - strip a leading `www.` host label and the scheme-default port
+    *    (http:80 / https:443);
+    *  - drop tracking query params (utm_*, fbclid, gclid, msclkid),
+    *    sort the survivors for order-insensitivity, drop a then-empty
+    *    `?`;
+    *  - strip trailing `/` from the path (`http://a.com/` ==
+    *    `http://a.com`).
+    * Strings with no `scheme://authority` prefix pass through trimmed
+    * (they are not URLs; normalization would corrupt them).
+    */
+  def normalizeUrl(c: Column): Column = {
+    val s = trim(safe(c))
+    val noFrag = regexp_replace(s, "#.*$", "")
+    // scheme://authority prefix; "" when the value is not a URL
+    val head = regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    val tail = noFrag.substr(length(head) + 1, length(noFrag))
+    val headLc = lower(head)
+    val headNoWww = regexp_replace(headLc, "^([a-z0-9+.-]+://)www\\.", "$1")
+    val headNoPort = regexp_replace(
+      regexp_replace(headNoWww, "^(http://[^:/]+):80$", "$1"),
+      "^(https://[^:/]+):443$", "$1")
+    val path = regexp_replace(regexp_extract(tail, "^([^?]*)", 1), "/+$", "")
+    val query = regexp_extract(tail, "^[^?]*\\?(.*)$", 1)
+    val params = filter(split(query, "&"), p =>
+      length(p) > 0 && !p.rlike("^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid)="))
+    val qNorm = array_join(array_sort(params), "&")
+    val rebuilt = concat(headNoPort, path,
+      when(length(qNorm) > 0, concat(lit("?"), qNorm)).otherwise(lit("")))
+    when(length(head) > 0, rebuilt).otherwise(s)
+  }
+
   /** Dispatch by semantic column type (matcher.py:594-605): phone,
     * email, string_name -> dedicated; address/string_general -> generic
     * string normalization; numeric/date pass through.

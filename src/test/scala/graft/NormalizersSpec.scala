@@ -55,6 +55,34 @@ class NormalizersSpec extends AnyFunSuite {
     assert(eval1(normalizeName, "Dr") == "")
   }
 
+  test("normalize_url canonicalization") {
+    // every rule at once: scheme/host case, www, default port, tracking
+    // params, param sort, trailing slash, fragment
+    assert(eval1(normalizeUrl,
+      "HTTPS://WWW.Example.COM:443/A/B/?z=1&utm_source=x&a=2#frag") ==
+      "https://example.com/A/B?a=2&z=1")
+    // http default port; path case preserved
+    assert(eval1(normalizeUrl, "HTTP://Site.com:80/Path") == "http://site.com/Path")
+    // non-default port kept
+    assert(eval1(normalizeUrl, "http://site.com:8080/x") == "http://site.com:8080/x")
+    // tracking-only query drops the '?' entirely
+    assert(eval1(normalizeUrl, "http://a.com/p?fbclid=abc") == "http://a.com/p")
+    assert(eval1(normalizeUrl, "http://a.com/p?gclid=1&msclkid=2") == "http://a.com/p")
+    // utm param filter is prefix-anchored: 'autm_x' and 'utm' (no '=')
+    // survive
+    assert(eval1(normalizeUrl, "http://a.com/?autm_x=1&utm_b=2") == "http://a.com?autm_x=1")
+    // root slash and bare host are the same page
+    assert(eval1(normalizeUrl, "http://a.com/") == "http://a.com")
+    // www only stripped as a host prefix label, not mid-host
+    assert(eval1(normalizeUrl, "http://nwww.a.com/x") == "http://nwww.a.com/x")
+    // non-URL strings pass through trimmed, untouched
+    assert(eval1(normalizeUrl, "  not a url  ") == "not a url")
+    assert(eval1(normalizeUrl, null) == "")
+    // idempotent
+    assert(eval1(normalizeUrl, "https://example.com/A/B?a=2&z=1") ==
+      "https://example.com/A/B?a=2&z=1")
+  }
+
   test("normalize_string general") {
     assert(eval1(normalizeString, "  HELLO   WORLD  ") == "hello world")
     assert(eval1(normalizeString, "Test\n\nTest") == "test test")
