@@ -13,7 +13,7 @@ import graft.io.{Sources, Warehouse}
   *     [--threshold 0.8] [--candidate-mode star] [--max-band-bucket 1000] \
   *     [--simhash-radius 2] [--span-min-span 64] \
   *     [--batch newpages.parquet --gen 1] \
-  *     [--output clusters.parquet] [--summary]
+  *     [--output clusters.parquet] [--summary] [--canonical]
   *
   * Without --batch: full `WebDedup.run` (resumable — rerunning after a
   * kill rebuilds only uncommitted stages). With --batch: incremental
@@ -63,7 +63,7 @@ object PipelineMain {
         WebDedup.addBatch(batch, wh, cfg, gen = opts.getOrElse("gen", "1").toInt)
       case None =>
         val pages = Sources.read(spark, graft.config.SourceSpec(path = Some(opts("input"))))
-        WebDedup.run(pages, wh, cfg)
+        WebDedup.run(pages, wh, cfg, canonical = opts.contains("canonical"))
     }
     opts.get("output").foreach(p =>
       Sources.write(clusters, graft.config.SourceSpec(path = Some(p))))
@@ -74,7 +74,7 @@ object PipelineMain {
       s"${wh.buildCount} stages built (rest resumed from ${wh.root})")
   }
 
-  private val flags = Set("summary", "exact-verify")
+  private val flags = Set("summary", "exact-verify", "canonical")
 
   private def parse(args: List[String]): Map[String, String] = {
     def loop(rest: List[String], acc: Map[String, String]): Map[String, String] = rest match {
@@ -89,7 +89,7 @@ object PipelineMain {
       "usage: graft.PipelineMain --input pages.parquet --warehouse /wh " +
         "[--batch new.parquet --gen 1] [--threshold T] [--candidate-mode pairs|star] " +
         "[--max-band-bucket N] [--simhash-radius R] [--span-min-span N] " +
-        "[--output PATH] [--summary] [--exact-verify]")
+        "[--output PATH] [--summary] [--exact-verify] [--canonical]")
     m
   }
 }

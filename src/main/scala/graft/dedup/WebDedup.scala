@@ -65,7 +65,7 @@ object WebDedup {
     * @return cluster table: page_id, url, cluster_id, cluster_size
     */
   def run(pages: DataFrame, wh: Warehouse, cfg: DedupConfig = DedupConfig(),
-      inputId: Option[String] = None): DataFrame = {
+      inputId: Option[String] = None, canonical: Boolean = false): DataFrame = {
     val fp = fingerprint(cfg) + "_in" + inputId.getOrElse(inputSnapshot(pages))
 
     // -- stage 1: extraction (typed transform contract)
@@ -168,6 +168,19 @@ object WebDedup {
       withCluster.join(sizes, "cluster_id")
         .select($"page_id", $"url", $"cluster_id", $"cluster_size",
           pmod(xxhash64($"cluster_id"), lit(16)).as("bucket"))
+    }
+
+    // -- stage 7 (opt-in): canonical survivor per cluster — the
+    // deduplicated corpus itself (page_id, url, text + cluster cols),
+    // longest extracted text wins, ties to the lowest page_id. Reads
+    // only committed tables, so a killed run resumes like every stage.
+    if (canonical) {
+      wh.getOrCreate("canonical", fp, parent = Some("clusters")) {
+        Dedup.canonicalDocs(
+          extracted.join(clusters.select($"page_id", $"cluster_id", $"cluster_size"),
+            Seq("page_id")),
+          "page_id", length($"text"))
+      }
     }
 
     // per-stage metrics (counts & skew surface) — written once per build

@@ -161,6 +161,32 @@ class WebDedupSpec extends AnyFunSuite {
     assert(wh3.buildCount == 0, "full pipeline must resume every committed stage")
   }
 
+  test("canonical stage commits one longest-text survivor per cluster and resumes") {
+    val root = java.nio.file.Files.createTempDirectory("wh").toString
+    val wh1 = new Warehouse(root, spark)
+    val clusters = WebDedup.run(pages, wh1, cfg, canonical = true)
+    val canon = wh1.read("canonical")
+    assert(canon.columns.toSet ==
+      Set("page_id", "url", "text", "cluster_id", "cluster_size"))
+    assert(canon.count() == clusters.select(col("cluster_id")).distinct().count())
+
+    // expected survivor per cluster from the committed tables
+    val byCluster = wh1.read("extracted")
+      .join(clusters.select(col("page_id"), col("cluster_id")), Seq("page_id"))
+      .select(col("cluster_id"), col("page_id"), length(col("text")).as("len"))
+      .as[(Long, Long, Int)].collect().groupBy(_._1)
+    val expected = byCluster.map { case (cid, rows) =>
+      cid -> rows.minBy(r => (-r._3, r._2))._2 }
+    val got = canon.select(col("cluster_id"), col("page_id")).as[(Long, Long)]
+      .collect().toMap
+    assert(got == expected)
+
+    // the canonical stage is committed: a rerun rebuilds nothing
+    val wh2 = new Warehouse(root, spark)
+    WebDedup.run(pages, wh2, cfg, canonical = true)
+    assert(wh2.buildCount == 0, "canonical stage must resume from commit")
+  }
+
   test("resume: second run rebuilds nothing and returns identical clusters") {
     val root = java.nio.file.Files.createTempDirectory("wh").toString
     val wh1 = new Warehouse(root, spark)
