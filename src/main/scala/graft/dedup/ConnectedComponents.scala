@@ -90,8 +90,21 @@ object ConnectedComponents {
       .localCheckpoint(false)
     var labels = labelsCp
 
+    // AQE stays ON for the adjacency build above (the expensive,
+    // skew-prone edge pipeline) but OFF for the label rounds: each
+    // round is 3 tiny exchanges over fixed-width (id, lbl) rows whose
+    // skew the map-side partial min already absorbs, so AQE's only
+    // contribution here is per-exchange query-stage barriers +
+    // replanning on the job's serial critical path (measured: ~0.5 s
+    // of extra driver time per round at ANY parallelism level on the
+    // 640k-doc bench corpus). Restored in the finally.
+    val spark = edges.sparkSession
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+
     var converged = false
     var round = 0
+    try {
     // persists/checkpoints of rounds whose materializing job has not
     // run yet (unchecked rounds are lazy): freeing them early would
     // either lose the cache before its double-read or unmark a
@@ -150,6 +163,7 @@ object ConnectedComponents {
         converged = changed == 0
       }
     }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
 
     freeCheckpoint(adj)
     labels.select($"id", $"lbl".as("cluster_id"))
