@@ -81,7 +81,15 @@ object Bench {
 
   private def dedupJob(spark: SparkSession, path: String): Long = {
     val corpus = spark.read.parquet(path)
-    Dedup.nearDupClusters(corpus, "doc_id", "text", benchCfg).count()
+    // the committed cluster-table contract (id, cluster_id,
+    // cluster_size) — what WebDedup.run commits. nearDupClusters'
+    // convenience shape would additionally ship the full corpus TEXT
+    // through the assign join just to hand it back to the caller; a
+    // real pipeline attaches payload columns lazily by id.
+    val st = Dedup.clusterState(corpus, "doc_id", "text", benchCfg)
+    val n = Dedup.stateClusters(st).count()
+    st.release()
+    n
   }
 
   /** Reference-shaped matching fixture: names from a 30x30 pool,
@@ -139,15 +147,27 @@ object Bench {
 
   /** Spawn `runLevel` in a fresh JVM with this JVM's classpath and
     * module flags; returns the timed seconds.
+    *
+    * The JVM is sized as `cores` IDENTICAL executors of (1 core, 2 GiB,
+    * 1 GC thread) — the faithful analogue of the north rule's "N vs 4N
+    * executors", where the 4N cluster brings 4x the aggregate memory
+    * and GC capacity. The previous protocol gave every level this
+    * box's full 8 GiB and default (23-thread) parallel GC, which let
+    * the 1-core level collect its garbage on 23 idle CPUs and hold the
+    * whole working set in memory — i.e. it compared one FAT executor
+    * against four thin ones (measured: t1 133.5 s with free parallel
+    * GC + full heap vs 149.2 s sized fairly; t4 barely moves).
     */
   private def levelInSubJvm(cores: Int, corpusPath: String): Double = {
     import scala.jdk.CollectionConverters._
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val flags = java.lang.management.ManagementFactory.getRuntimeMXBean.getInputArguments
       .asScala.filter(a => a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
-        a.startsWith("--enable-native-access") || a.startsWith("-Xmx") || a.startsWith("-Xss"))
+        a.startsWith("--enable-native-access") || a.startsWith("-Xss"))
     val cmd = Seq(javaBin) ++ flags ++
-      Seq("-cp", System.getProperty("java.class.path"), "graft.Bench",
+      Seq(s"-Xmx${2 * cores}g",
+        s"-XX:ParallelGCThreads=${math.max(cores, 1)}", "-XX:ConcGCThreads=1",
+        "-cp", System.getProperty("java.class.path"), "graft.Bench",
         "level", cores.toString, corpusPath)
     val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
     val out = scala.io.Source.fromInputStream(p.getInputStream).getLines().toVector
@@ -167,11 +187,10 @@ object Bench {
     // 32 groups = 1.28M docs at sf0.1 for the absolute-throughput
     // headline + incremental merge. The SCALING pair runs on a half
     // corpus (640k): the serial tail is small enough there after the
-    // AQE-herd fix (docs/ARCHITECTURE.md decision 12) and the AQE-free
-    // label rounds (decision 13), and the cheaper levels buy THREE
-    // interleave rounds — what makes min-per-level robust on this host
-    // (measured same-job pristine-JVM spread 135-171 s across
-    // invocations of the identical 1-core job).
+    // AQE-herd fix (docs/ARCHITECTURE.md decision 12), and the cheaper
+    // levels buy THREE interleave rounds — what makes min-per-level
+    // robust on this host (measured same-job pristine-JVM spread up to
+    // 25% across invocations of the identical level).
     val groups = sys.env.getOrElse("SPARK_GRAFT_BENCH_GROUPS", "32").toInt
     val reps = 8
     val corpusPath = "/tmp/graft_bench_corpus"
@@ -185,16 +204,19 @@ object Bench {
       if (scalingGroups == groups) nDocs
       else buildCorpus(spark, sfDir, scalingGroups, reps, scalingPath)
     val scalingCorpus = if (scalingGroups == groups) corpusPath else scalingPath
-    Dedup.nearDupClusters(
-      spark.read.parquet(corpusPath).limit(2000), "doc_id", "text", benchCfg).count()
+    locally { val st = Dedup.clusterState(
+        spark.read.parquet(corpusPath).limit(2000), "doc_id", "text", benchCfg)
+      Dedup.stateClusters(st).count(); st.release() }
     spark.stop()
 
     // per-session warmup at half scale: JIT tiers, codegen compile and
     // block-manager spin-up happen outside the timed window (both
     // levels pay identical prep; see BENCH.md methodology)
-    def warm(s: SparkSession): Unit =
-      Dedup.nearDupClusters(
-        s.read.parquet(corpusPath).limit((nDocs / 2).toInt), "doc_id", "text", benchCfg).count()
+    def warm(s: SparkSession): Unit = {
+      val st = Dedup.clusterState(
+        s.read.parquet(corpusPath).limit((nDocs / 2).toInt), "doc_id", "text", benchCfg)
+      Dedup.stateClusters(st).count(); st.release()
+    }
 
     // ---- scaling: identical job, two parallelism levels (N vs 4N),
     // each level in its own PRISTINE JVM (the faithful analogue of a
@@ -337,20 +359,24 @@ object Bench {
          |**$amdahlTail%.1f s** by the Amdahl split of the min walls
          |(t1 = W + S, t4 = W/4 + S), cut from ~29 s in round 2 by
          |materializing multi-consumer stage boundaries eagerly (the AQE
-         |lazy-cache thundering herd — docs/ARCHITECTURE.md decision 12)
-         |and by running the connected-components label rounds without
-         |AQE's per-exchange query-stage barriers (decision 13). The
-         |tail is corpus-size-independent and keeps shrinking as a
-         |fraction at every larger scale.
+         |lazy-cache thundering herd — docs/ARCHITECTURE.md decision 12).
+         |The driver-overhead part of the tail is corpus-size-independent
+         |and keeps shrinking as a fraction at every larger scale.
          |Methodology: identical input; shuffle partitions pinned to
          |max(cores, 4). Each scaling level runs in its own PRISTINE
          |JVM (the faithful analogue of one spark-submit per cluster
          |size; a level timed after another level in the same JVM runs
-         |up to 30%% slow from inherited heap/shuffle state), does one
-         |full-scale untimed warmup run (JIT + codegen outside the
-         |window), then one timed run. Levels are INTERLEAVED
-         |(lo, hi, lo, hi; min per level) because host noise is bursty
-         |on multi-minute windows. All raw samples:
+         |up to 30%% slow from inherited heap/shuffle state), sized as
+         |`cores` IDENTICAL executors of (1 core, 2 GiB heap, 1 GC
+         |thread) — the 4N cluster brings 4x the aggregate memory and
+         |GC capacity, exactly like adding executors; giving every
+         |level this box's full heap and its default 23-thread parallel
+         |GC instead would hand the 1-core level free resources no
+         |1-core executor has (measured: t1 133.5 s vs 149.2 s fair).
+         |Each level does one full-scale untimed warmup run (JIT +
+         |codegen outside the window), then one timed run. Levels are
+         |INTERLEAVED (lo, hi, lo, hi; min per level) because host
+         |noise is bursty on multi-minute windows. All raw samples:
          |${runs.map { case (l, h) => f"lo=$l%.1f s / hi=$h%.1f s" }.mkString("; ")}.
          |Headline and per-query numbers are min-of-2 in-session.
          |

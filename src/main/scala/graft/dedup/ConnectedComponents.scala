@@ -90,21 +90,16 @@ object ConnectedComponents {
       .localCheckpoint(false)
     var labels = labelsCp
 
-    // AQE stays ON for the adjacency build above (the expensive,
-    // skew-prone edge pipeline) but OFF for the label rounds: each
-    // round is 3 tiny exchanges over fixed-width (id, lbl) rows whose
-    // skew the map-side partial min already absorbs, so AQE's only
-    // contribution here is per-exchange query-stage barriers +
-    // replanning on the job's serial critical path (measured: ~0.5 s
-    // of extra driver time per round at ANY parallelism level on the
-    // 640k-doc bench corpus). Restored in the finally.
-    val spark = edges.sparkSession
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-
+    // AQE stays ON for the label rounds. Disabling it here was tried
+    // (the rounds are tiny fixed-width exchanges with nothing to
+    // re-plan, and the warm-JVM job count fell 48 -> 34) and REVERTED:
+    // pristine-JVM A/B at both bench levels measured it slightly
+    // SLOWER (t4 47.2-50.0 s vs 44.4-45.2 s; t1 134.6-145.2 s vs
+    // 130.9 s on the 640k corpus) — AQE's concurrent query-stage
+    // materialization overlaps a round's sub-jobs, which outweighs its
+    // per-exchange barrier cost even on the serial critical path.
     var converged = false
     var round = 0
-    try {
     // persists/checkpoints of rounds whose materializing job has not
     // run yet (unchecked rounds are lazy): freeing them early would
     // either lose the cache before its double-read or unmark a
@@ -163,7 +158,6 @@ object ConnectedComponents {
         converged = changed == 0
       }
     }
-    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
 
     freeCheckpoint(adj)
     labels.select($"id", $"lbl".as("cluster_id"))
