@@ -269,15 +269,25 @@ object Bench {
     val nBatch = batchDocs.count()
     val baseState = Dedup.clusterState(baseDocs, "doc_id", "text", benchCfg)
     baseState.assignments.count() // force the untimed base build
-    var mergedState: graft.dedup.ClusterState = null
-    val tAddBatch = time {
-      mergedState = Dedup.addBatch(baseState, batchDocs, "doc_id", "text", benchCfg)
-      // force the merged ASSIGNMENT table — the committed state the next
-      // generation needs. (stateClusters would add a full sizing
-      // groupBy+join that belongs to reporting, not the merge.)
-      mergedState.assignments.count()
+    // min-of-2 like every other timed metric. Releases are deferred
+    // until both merges ran: a merged state's release() frees the BASE
+    // signature persist too (it is part of the successor chain), which
+    // would silently un-warm the second merge.
+    var mergedStates = List.empty[graft.dedup.ClusterState]
+    def mergeOnce(): Double = {
+      var ms: graft.dedup.ClusterState = null
+      val t = time {
+        ms = Dedup.addBatch(baseState, batchDocs, "doc_id", "text", benchCfg)
+        // force the merged ASSIGNMENT table — the committed state the
+        // next generation needs. (stateClusters would add a full sizing
+        // groupBy+join that belongs to reporting, not the merge.)
+        ms.assignments.count()
+      }
+      mergedStates ::= ms
+      t
     }
-    mergedState.release(); baseState.release()
+    val tAddBatch = math.min(mergeOnce(), mergeOnce())
+    mergedStates.foreach(_.release()); baseState.release()
     val thrBatch = nBatch / tAddBatch
 
     // ---- reference-workload match (10k x 10k, blocking on).
