@@ -479,6 +479,34 @@ object Dedup {
       .distinct()
   }
 
+  /** Cross verify for incremental merges: `candidates` id1 always
+    * comes from `newSigs` (the batch) and id2 from `oldSigs` (the
+    * base), so each pair side joins ITS OWN signature table instead of
+    * a two-sided union — the shape that made the base table cross the
+    * verify shuffle twice. The old side is additionally semi-pruned by
+    * a broadcast of the probed id SET (8 bytes per candidate id2 —
+    * O(batch x bands) by the band-bucket guard, never the base corpus),
+    * so the base signature table never crosses a shuffle at all: its
+    * blocks are scanned once, filtered to the probed rows, and the
+    * small survivor side joins (AQE broadcasts it when it fits).
+    */
+  def verifyPairsCross(candidates: DataFrame, newSigs: DataFrame, oldSigs: DataFrame,
+      cfg: DedupConfig = DedupConfig()): DataFrame = {
+    val simCol =
+      if (cfg.exactVerify) array_jaccard($"a.shingle_hashes", $"b.shingle_hashes")
+      else minhash_jaccard($"a.sig", $"b.sig")
+    def narrow(s: DataFrame) =
+      if (cfg.exactVerify) s.select($"id", $"shingle_hashes") else s.select($"id", $"sig")
+    val probedOld = narrow(oldSigs).join(
+      broadcast(candidates.select($"id2".as("_pid")).distinct()),
+      $"id" === $"_pid", "left_semi")
+    candidates
+      .join(narrow(newSigs).as("a"), candidates("id1") === col("a.id"))
+      .join(probedOld.as("b"), candidates("id2") === col("b.id"))
+      .select($"id1", $"id2", simCol.as("sim"))
+      .where($"sim" >= cfg.threshold)
+  }
+
   /** Incremental dedup: cluster a NEW batch of documents against an
     * already-clustered corpus in O(batch + touched clusters) work — the
     * operation a 10^12-document crawl pipeline actually runs (full
@@ -506,11 +534,17 @@ object Dedup {
     val (exactEdges, newSigs, free) = collapseAndSign(newDocs, idCol, textCol, cfg)
     val nn = verifyPairs(lshCandidates(newSigs, cfg), newSigs, cfg)
       .select($"id1".as("u"), $"id2".as("v"))
-    // batch-vs-base: verify against the two-sided signature union (the
-    // verify joins prune by candidate id; at rest-scale the base side
-    // is bucketed by id so only probed buckets ship — see ARCHITECTURE)
-    val no = verifyPairs(crossCandidates(newSigs, state.signatures, cfg),
-      newSigs.unionByName(state.signatures), cfg)
+    // batch-vs-base: sided verify with a broadcast-semi-pruned base
+    // side — the base signature table is scanned once and never
+    // shuffled (measured: the old two-sided union shipped it through
+    // BOTH verify join sides, and the merge cost 2.2x a full
+    // recompute). The candidate table persists because it feeds both
+    // the probed-id broadcast and the verify join; the eager count
+    // keeps AQE from materializing those consumers as a stage herd.
+    val cross = crossCandidates(newSigs, state.signatures, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cross.count()
+    val no = verifyPairsCross(cross, newSigs, state.signatures, cfg)
     // cross-boundary EXACT merges by content hash: a doc too short to
     // shingle has a NULL sig — bands can never surface its identical
     // twin on the base side, but a full recompute's exact collapse
@@ -532,6 +566,7 @@ object Dedup {
     newEdges.count()
     val cc = ConnectedComponents.run(exactEdges.union(newEdges))
     newEdges.unpersist(blocking = false)
+    cross.unpersist(blocking = false)
     free()
     val roots = cc.select($"id".as("_r"), $"cluster_id".as("_newRoot"))
     // relabel old assignments through their root (left join: untouched

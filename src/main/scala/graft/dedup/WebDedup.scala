@@ -280,14 +280,22 @@ object WebDedup {
     }
 
     // every edge the batch adds, already rewired to base cluster roots
+    var crossCand: DataFrame = null
     val edges = wh.getOrCreate(s"edges_g$gen", fp, parent = Some(s"sig_batch_g$gen")) {
       val baseSigs = wh.read(baseSigsN)
       val exactEdges = exactMap.where($"page_id" =!= $"rep")
         .select($"rep".as("u"), $"page_id".as("v"))
       val nn = Dedup.verifyPairs(Dedup.lshCandidates(batchSigs, cfg), batchSigs, cfg)
         .select($"id1".as("u"), $"id2".as("v"))
-      val no = Dedup.verifyPairs(Dedup.crossCandidates(batchSigs, baseSigs, cfg),
-        batchSigs.unionByName(baseSigs), cfg)
+      // sided verify: the committed base signature table is scanned,
+      // semi-pruned to the probed ids, and never shuffled (see
+      // Dedup.verifyPairsCross). cross persists for its two consumers
+      // (probed-id broadcast + verify join); freed after the stage
+      // commit consumes it (the pipeline leaves no persisted RDDs).
+      crossCand = Dedup.crossCandidates(batchSigs, baseSigs, cfg)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      crossCand.count()
+      val no = Dedup.verifyPairsCross(crossCand, batchSigs, baseSigs, cfg)
       // cross-boundary EXACT merges by content hash: a too-short-to-
       // shingle doc has a NULL sig and never collides in a band, but a
       // full recompute's exact collapse merges its identical base twin
@@ -303,6 +311,9 @@ object WebDedup {
         .select($"id1".as("u"), $"_root".as("v"))
       exactEdges.union(nn).union(noEdges)
     }
+    // the edges stage commit consumed the candidate persist (no-op when
+    // the stage resumed and the builder never ran)
+    if (crossCand != null) crossCand.unpersist(blocking = false)
 
     var ccResult: DataFrame = null
     val assignments = wh.getOrCreate(s"assignments_g$gen", fp, parent = Some(s"edges_g$gen")) {
