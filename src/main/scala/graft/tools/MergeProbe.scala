@@ -1,5 +1,5 @@
 package graft.tools
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.dedup.{Dedup, DedupConfig}
@@ -28,25 +28,21 @@ object MergeProbe {
     val baseState = Dedup.clusterState(baseDocs, "doc_id", "text", cfg)
     baseState.assignments.count()
 
-    val starts = scala.collection.concurrent.TrieMap.empty[Int, (Long, String)]
-    val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double, String)]
+    // EXECUTED stages only (SparkListenerStageCompleted never fires for
+    // skipped/reused stages), with per-stage task-time and scope names
+    val stages = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double, String)]
     @volatile var t0 = 0L
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit = {
-        // per-stage callsites: the graft/Dedup frames in each stage's
-        // details tell WHICH operator subtree this AQE stage job runs
-        val name = j.stageInfos.sortBy(_.stageId).map { s =>
-          val site = s.details.linesIterator
-            .find(l => l.contains("graft.") && !l.contains("MergeProbe"))
-            .getOrElse(s.name.takeWhile(_ != '\n'))
-          s"[${s.stageId}:${s.numTasks}t ${site.trim.take(60)}]"
-        }.mkString(" ")
-        starts(j.jobId) = (j.time, name)
-      }
-      override def onJobEnd(j: SparkListenerJobEnd): Unit =
-        starts.remove(j.jobId).foreach { case (s, name) =>
-          rows.synchronized { rows += ((j.jobId, (s - t0) / 1e3, (j.time - s) / 1e3, name)) }
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        val s = e.stageInfo
+        val scopes = s.rddInfos.flatMap(_.scope).map(_.name)
+          .filterNot(_ == "mapPartitionsInternal").distinct.take(8).mkString(",")
+        val dur = (s.completionTime.getOrElse(0L) - s.submissionTime.getOrElse(0L)) / 1e3
+        val rel = (s.submissionTime.getOrElse(0L) - t0) / 1e3
+        stages.synchronized {
+          stages += ((s.stageId, rel, dur, s"${s.numTasks}t $scopes")); ()
         }
+      }
     })
 
     t0 = System.currentTimeMillis()
@@ -56,11 +52,23 @@ object MergeProbe {
     ms.assignments.count()
     val wall = (System.nanoTime() - wall0) / 1e9
     println(f"[merge-probe] addBatch-call=$tCall%.2f assignments-count=${wall - tCall}%.2f")
+    // cache-hit probes: if these are slow, consumers were recomputing
+    // the collapse instead of reading the persisted signature tables
+    val newSigs = ms.retained.last
+    val tProbe1 = { val t = System.nanoTime(); newSigs.count(); (System.nanoTime() - t) / 1e9 }
+    val tProbe2 = { val t = System.nanoTime()
+      newSigs.select($"id", $"sig").where($"sig".isNotNull).count()
+      (System.nanoTime() - t) / 1e9 }
+    val tProbe3 = { val t = System.nanoTime(); baseState.signatures.count(); (System.nanoTime() - t) / 1e9 }
+    val tProbe4 = { val t = System.nanoTime()
+      baseState.signatures.select($"id", $"sig").where($"sig".isNotNull).count()
+      (System.nanoTime() - t) / 1e9 }
+    println(f"[merge-probe] cacheProbe newSigs count=$tProbe1%.2f narrowSel=$tProbe2%.2f baseSigs count=$tProbe3%.2f narrowSel=$tProbe4%.2f")
     Thread.sleep(500)
-    val jobs = rows.sortBy(_._1)
-    println(f"[merge-probe] cores=$cores wall=$wall%.2f jobs=${jobs.size} jobSum=${jobs.map(_._3).sum}%.2f")
-    jobs.foreach { case (id, rel, d, name) =>
-      if (d > 0.5) println(f"[merge-probe]   job $id%3d start=$rel%7.2f dur=$d%7.2f  $name%s")
+    val ss = stages.sortBy(-_._3)
+    println(f"[merge-probe] cores=$cores wall=$wall%.2f stages=${ss.size} stageSum=${ss.map(_._3).sum}%.2f")
+    ss.take(15).foreach { case (id, rel, d, name) =>
+      println(f"[merge-probe]   stage $id%3d start=$rel%7.2f dur=$d%7.2f  $name%s")
     }
     ms.release(); baseState.release()
     spark.stop()
