@@ -149,6 +149,20 @@ object SparkEntry {
       out
     },
 
+    "dedup_decontaminate" -> { (s, dir) =>
+      // benchmark decontamination: the reference set is every 5th doc
+      // with one appended token (jaccard ~ S/(S+5): above threshold for
+      // all but the shortest docs — exact verify on both engines makes
+      // any outcome comparable); output = the surviving corpus ids
+      val d = t(s, dir, "documents").select($"doc_id", $"text")
+      val ref = d.where($"doc_id" % 5 === 0)
+        .select(($"doc_id" + 1000000).as("ref_id"),
+          concat($"text", lit(" evaltag")).as("text"))
+      Dedup.decontaminate(d, "doc_id", "text", ref, "ref_id", "text",
+          DedupConfig(exactVerify = true))
+        .select($"doc_id".cast("long").as("doc_id"))
+    },
+
     "dedup_canonical" -> { (s, dir) =>
       // the deduplicated-corpus projection: one survivor per near-dup
       // cluster, longest text wins, ties to the lowest doc_id
@@ -652,6 +666,21 @@ object SparkEntry {
          |  SELECT e.b AS id, reach.r FROM reach JOIN edges e ON e.a = reach.id
          |)
          |SELECT id AS doc_id, min(r) AS cluster_id, count(*) AS cluster_size FROM reach GROUP BY id""".stripMargin,
+
+    // exact cross-corpus 5-shingle jaccard against the perturbed
+    // reference set; survivors = docs with no reference match >= 0.8
+    "dedup_decontaminate" ->
+      """WITH t AS (SELECT doc_id AS id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts FROM documents),
+        |r AS (SELECT doc_id AS rid, string_split(trim(regexp_replace(lower(text || ' evaltag'), '\s+', ' ', 'g')), ' ') AS ts FROM documents WHERE doc_id%5=0),
+        |g AS (SELECT id, unnest(list_distinct(list_transform(range(1, len(ts)-5+2), i -> array_to_string(ts[i:i+4], ' ')))) AS gr FROM t),
+        |gr_ AS (SELECT rid, unnest(list_distinct(list_transform(range(1, len(ts)-5+2), i -> array_to_string(ts[i:i+4], ' ')))) AS gr FROM r),
+        |sz AS (SELECT id, count(*) AS n FROM g GROUP BY 1),
+        |szr AS (SELECT rid, count(*) AS n FROM gr_ GROUP BY 1),
+        |inter AS (SELECT g.id, gr_.rid, count(*) AS c FROM g JOIN gr_ ON g.gr = gr_.gr GROUP BY 1, 2),
+        |bad AS (SELECT DISTINCT id FROM inter
+        |        JOIN sz ON sz.id = inter.id JOIN szr ON szr.rid = inter.rid
+        |        WHERE c*1.0/(sz.n + szr.n - c) >= 0.8)
+        |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM bad)""".stripMargin,
 
     // deduplicated-corpus projection: same recursive-CTE clustering,
     // survivor = longest text, ties to lowest doc_id

@@ -507,6 +507,54 @@ object Dedup {
       .where($"sim" >= cfg.threshold)
   }
 
+  /** Benchmark decontamination: every (corpus doc, reference doc) pair
+    * whose texts near-dup at cfg.threshold — the cross-corpus form of
+    * dedup a training pipeline runs to keep EVAL data out of training
+    * data. Same banded candidate generation + sided verify as the
+    * incremental merge (the reference table is scanned once and never
+    * crosses a shuffle; see [[verifyPairsCross]]), so the cost is
+    * O(corpus banding + reference scan + candidates), not corpus x
+    * reference. Ids must be long-castable (they need not be unique
+    * ACROSS the two tables). Output: (idCol, refIdCol, sim) — eagerly
+    * materialized; free via [[release]] when consumed.
+    */
+  def contaminationPairs(corpus: DataFrame, idCol: String, textCol: String,
+      reference: DataFrame, refIdCol: String, refTextCol: String,
+      cfg: DedupConfig = DedupConfig()): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def sign(df: DataFrame, id: String, text: String) = {
+      val s = signatures(
+        df.select(col(id).cast("long").as("id"), col(text).as("text")), "id", "text", cfg)
+        .persist(lvl)
+      s.count() // one projection pass; consumers read blocks (decision 12)
+      s
+    }
+    val cSigs = sign(corpus, idCol, textCol)
+    val rSigs = sign(reference, refIdCol, refTextCol)
+    val cand = crossCandidates(cSigs, rSigs, cfg).persist(lvl)
+    cand.count()
+    val out = verifyPairsCross(cand, cSigs, rSigs, cfg)
+      .select($"id1".as(idCol), $"id2".as(refIdCol), $"sim")
+      .localCheckpoint(true) // pairs are the small survivor set
+    cand.unpersist(blocking = false)
+    cSigs.unpersist(blocking = false)
+    rSigs.unpersist(blocking = false)
+    out
+  }
+
+  /** The deconned corpus: every input column, minus documents that
+    * near-dup any reference document. The anti-join key is the
+    * long-cast id.
+    */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+      reference: DataFrame, refIdCol: String, refTextCol: String,
+      cfg: DedupConfig = DedupConfig()): DataFrame = {
+    val bad = contaminationPairs(corpus, idCol, textCol, reference, refIdCol, refTextCol, cfg)
+      .select(col(idCol)).distinct()
+    corpus.withColumn(idCol, col(idCol).cast("long"))
+      .join(bad, Seq(idCol), "left_anti")
+  }
+
   /** Incremental dedup: cluster a NEW batch of documents against an
     * already-clustered corpus in O(batch + touched clusters) work — the
     * operation a 10^12-document crawl pipeline actually runs (full

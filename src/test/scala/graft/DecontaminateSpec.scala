@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dedup.{Dedup, DedupConfig}
+
+/** Cross-corpus decontamination: corpus docs near-dupping a reference
+  * (eval) doc are flagged and removed; corpus-INTERNAL near-dups are
+  * not decontamination's business and must survive.
+  */
+class DecontaminateSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits.{StringToColumn => _, _}
+
+  private def mk(tag: String) = (1 to 30).map(i => s"$tag$i").mkString(" ")
+  private val cfg = DedupConfig(exactVerify = true)
+
+  private def corpus = (
+    (0L to 5L).map(g => (g, mk(s"c$g"))) ++
+      Seq((100L, mk("dup")), (101L, mk("dup") + " extra")) // internal near-dup pair
+    ).toDF("doc_id", "text")
+
+  private def reference = Seq(
+    (900L, mk("c2") + " evaltail"), // near-dups corpus doc 2
+    (901L, mk("fresh"))             // matches nothing
+  ).toDF("ref_id", "text")
+
+  test("contaminationPairs flags exactly the cross matches") {
+    val pairs = Dedup.contaminationPairs(corpus, "doc_id", "text",
+      reference, "ref_id", "text", cfg)
+    val got = pairs.select($"doc_id", $"ref_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((2L, 900L)))
+    Dedup.release(pairs)
+  }
+
+  test("decontaminate drops contaminated docs, keeps internal dups intact") {
+    val clean = Dedup.decontaminate(corpus, "doc_id", "text",
+      reference, "ref_id", "text", cfg)
+    val ids = clean.select($"doc_id").as[Long].collect().toSet
+    assert(ids == Set(0L, 1L, 3L, 4L, 5L, 100L, 101L),
+      s"expected only doc 2 removed, got $ids")
+    assert(clean.columns.toSet == Set("doc_id", "text"))
+    Dedup.release(clean)
+  }
+
+  test("no persisted blocks survive after release") {
+    val clean = Dedup.decontaminate(corpus, "doc_id", "text",
+      reference, "ref_id", "text", cfg)
+    clean.count()
+    Dedup.release(clean)
+    // the operator frees its own signature/candidate persists; release
+    // drops the checkpointed pair table behind the result
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      spark.sparkContext.getPersistentRDDs.values.map(_.name).mkString(", "))
+  }
+}
