@@ -151,10 +151,43 @@ object Main {
         if (cc.generateSummary)
           Sources.write(Sources.clusterSummary(out),
             cfg.output.copy(path = cfg.output.path.map(_ + "_summary")))
+        // canonical: true — also write the deduplicated corpus itself
+        // (one max-length survivor per cluster) as <output>_canonical
+        if (cc.canonical)
+          Sources.write(
+            Dedup.canonicalDocs(out.withColumn("_ct", textCol), idCol, length($"_ct"))
+              .drop("_ct"),
+            cfg.output.copy(path = cfg.output.path.map(_ + "_canonical")))
         // free the CC label checkpoints behind the result: a long-lived
         // session running many jobs (--ui loop) must not accumulate
         // MEMORY_AND_DISK blocks per run
         Dedup.release(out)
+
+      case "decontaminate" =>
+        // corpus (source1) minus documents near-dupping the reference/
+        // eval set (source2) — Dedup.decontaminate through the config
+        // surface (r3 VERDICT "What's missing #2"). Columns follow the
+        // clustering conventions: id = 'id' or the first column, text =
+        // configured columns' concatenation (or all non-id columns).
+        val corpus = Sources.read(spark, cfg.source1.get)
+        val ref = Sources.read(spark, cfg.source2.get)
+        val cc = cfg.clusterConfig
+        def idOf(df: org.apache.spark.sql.DataFrame) =
+          df.columns.find(_.toLowerCase == "id").getOrElse(df.columns.head)
+        def textOf(df: org.apache.spark.sql.DataFrame, id: String) = concat_ws(" ",
+          (if (cc.columns.nonEmpty) cc.columns.map(c => col(c.source1))
+          else df.columns.filterNot(_ == id).toSeq.map(col)): _*)
+        val (cid, rid) = (idOf(corpus), idOf(ref))
+        val cWith = corpus.withColumn("_decon_text", textOf(corpus, cid))
+        val rWith = ref.withColumn("_decon_text", textOf(ref, rid))
+        val clean = Dedup.decontaminate(cWith, cid, "_decon_text",
+            rWith, rid, "_decon_text",
+            DedupConfig(threshold = cc.threshold, exactVerify = true,
+              candidateMode = cc.candidateMode,
+              maxBandBucket = cc.maxBandBucket.getOrElse(
+                if (cc.skipHighCardinality) cc.maxBlockSize else 0)))
+          .drop("_decon_text")
+        Sources.write(clean, cfg.output)
 
       case _ => // matching
         val s1 = Sources.read(spark, cfg.source1.get)

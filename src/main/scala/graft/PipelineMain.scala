@@ -65,13 +65,24 @@ object PipelineMain {
         val pages = Sources.read(spark, graft.config.SourceSpec(path = Some(opts("input"))))
         WebDedup.run(pages, wh, cfg, canonical = opts.contains("canonical"))
     }
-    opts.get("output").foreach(p =>
-      Sources.write(clusters, graft.config.SourceSpec(path = Some(p))))
+    opts.get("output").foreach { p =>
+      Sources.write(clusters, graft.config.SourceSpec(path = Some(p)))
+      // --canonical's deliverable is the deduplicated corpus itself;
+      // export it next to the cluster table (r3 ADVICE: the flag's
+      // output was committed to the warehouse but never surfaced)
+      if (opts.contains("canonical") && !opts.contains("batch"))
+        Sources.write(wh.read("canonical"),
+          graft.config.SourceSpec(path = Some(p.stripSuffix("/") + "_canonical")))
+    }
     if (opts.contains("summary"))
       Sources.clusterSummary(clusters).show(100, truncate = false)
     val n = clusters.count()
+    val canonicalNote =
+      if (opts.contains("canonical") && !opts.contains("batch"))
+        s"; canonical corpus at ${wh.root}/canonical"
+      else ""
     out.println(s"pipeline done: $n pages, " +
-      s"${wh.buildCount} stages built (rest resumed from ${wh.root})")
+      s"${wh.buildCount} stages built (rest resumed from ${wh.root})$canonicalNote")
   }
 
   private val flags = Set("summary", "exact-verify", "canonical")

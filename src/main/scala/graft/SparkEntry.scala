@@ -677,7 +677,7 @@ object SparkEntry {
         |sz AS (SELECT id, count(*) AS n FROM g GROUP BY 1),
         |szr AS (SELECT rid, count(*) AS n FROM gr_ GROUP BY 1),
         |inter AS (SELECT g.id, gr_.rid, count(*) AS c FROM g JOIN gr_ ON g.gr = gr_.gr GROUP BY 1, 2),
-        |bad AS (SELECT DISTINCT id FROM inter
+        |bad AS (SELECT DISTINCT inter.id AS id FROM inter
         |        JOIN sz ON sz.id = inter.id JOIN szr ON szr.rid = inter.rid
         |        WHERE c*1.0/(sz.n + szr.n - c) >= 0.8)
         |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM bad)""".stripMargin,

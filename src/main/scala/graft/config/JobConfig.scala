@@ -73,7 +73,13 @@ final case class ClusterSettings(
       * skip_high_cardinality mapping)
       */
     candidateMode: String = "pairs",
-    maxBandBucket: Option[Int] = None)
+    maxBandBucket: Option[Int] = None,
+    /** also emit the canonical-survivor projection (the deduplicated
+      * corpus itself — longest concatenated text per cluster) next to
+      * the cluster table, as `<output>_canonical`. Training-data
+      * surface, no reference analogue.
+      */
+    canonical: Boolean = false)
 
 final case class JobConfig(
     mode: String,
@@ -100,9 +106,9 @@ object JobConfig {
       }
     val resolved = resolveEnv(root, env)
     val mode = textOr(resolved, "mode", "matching")
-    if (!Set("matching", "clustering", "search").contains(mode))
+    if (!Set("matching", "clustering", "search", "decontaminate").contains(mode))
       throw new IllegalArgumentException(s"Configuration validation error at 'mode': " +
-        s"'$mode' is not one of ['matching', 'clustering', 'search']")
+        s"'$mode' is not one of ['matching', 'clustering', 'search', 'decontaminate']")
 
     // mode dependency checks — messages per config_validator.py:208-224
     val has1 = resolved.has("source1")
@@ -118,6 +124,14 @@ object JobConfig {
           "search mode requires source2 (master dataset). Add source2 to config.")
         if (has1) throw new IllegalArgumentException(
           "search mode does not require source1. Remove source1 from config or set mode to 'matching'.")
+      case "decontaminate" =>
+        // training-data surface (no reference analogue): source1 = the
+        // corpus to clean, source2 = the reference/eval set to clean
+        // AGAINST
+        if (!has1) throw new IllegalArgumentException(
+          "decontaminate mode requires source1 (corpus). Add source1 to config.")
+        if (!has2) throw new IllegalArgumentException(
+          "decontaminate mode requires source2 (reference/eval set). Add source2 to config.")
       case _ =>
         if (!has1) throw new IllegalArgumentException(
           "matching mode requires source1. Add source1 to config.")
@@ -221,7 +235,8 @@ object JobConfig {
         m
       },
       maxBandBucket = if (n.has("max_band_bucket")) Some(n.get("max_band_bucket").asInt)
-        else None)
+        else None,
+      canonical = boolOr(n, "canonical", false))
   }
 
   private def intOr(n: JsonNode, f: String, default: Int): Int =

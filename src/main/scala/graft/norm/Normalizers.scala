@@ -93,8 +93,12 @@ object Normalizers {
     *  - trim; drop the #fragment;
     *  - lowercase scheme://authority (path/query case is preserved —
     *    it is significant on most servers);
-    *  - strip a leading `www.` host label and the scheme-default port
-    *    (http:80 / https:443);
+    *  - strip a leading `www.` host label (only when >= 2 labels
+    *    remain — `www.com` is itself a registrable host) and the
+    *    scheme-default port (http:80 / https:443). Known limitation:
+    *    a `user:pass@` userinfo prefix in the authority is lowercased
+    *    along with the host (userinfo is vanishingly rare in crawl
+    *    URLs and usually stripped upstream);
     *  - drop tracking query params (utm_*, fbclid, gclid, msclkid),
     *    sort the survivors for order-insensitivity, drop a then-empty
     *    `?`;
@@ -110,7 +114,11 @@ object Normalizers {
     val head = regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
     val tail = noFrag.substr(length(head) + 1, length(noFrag))
     val headLc = lower(head)
-    val headNoWww = regexp_replace(headLc, "^([a-z0-9+.-]+://)www\\.", "$1")
+    // only strip www. when at least two host labels remain: www.com is
+    // a (degenerate but legal) registrable host, and collapsing it to
+    // "com" would conflate two different origins (r3 ADVICE). The
+    // lookahead requires label.label after the strip point.
+    val headNoWww = regexp_replace(headLc, "^([a-z0-9+.-]+://)www\\.(?=[^./?#]+\\.)", "$1")
     val headNoPort = regexp_replace(
       regexp_replace(headNoWww, "^(http://[^:/]+):80$", "$1"),
       "^(https://[^:/]+):443$", "$1")

@@ -36,7 +36,14 @@ class ConnectedComponentsSpec extends AnyFunSuite {
   private def runCC(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     import spark.implicits._
     val df = edges.toDF("u", "v")
-    ConnectedComponents.run(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val labels = ConnectedComponents.run(df)
+    val out = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // production callers release after consuming (Dedup.release); the
+    // suite follows the same lifecycle so shared-session suites that
+    // assert a clean block manager (DecontaminateSpec) can't inherit
+    // this suite's checkpoint blocks
+    ConnectedComponents.release(labels)
+    out
   }
 
   private def check(edges: Seq[(Long, Long)]): Unit = {
@@ -62,7 +69,9 @@ class ConnectedComponentsSpec extends AnyFunSuite {
   test("empty edges") {
     import spark.implicits._
     val df = Seq.empty[(Long, Long)].toDF("u", "v")
-    assert(ConnectedComponents.run(df).count() == 0)
+    val labels = ConnectedComponents.run(df)
+    assert(labels.count() == 0)
+    ConnectedComponents.release(labels)
   }
   test("randomized graphs match union-find oracle") {
     val rnd = new scala.util.Random(7)
@@ -87,9 +96,11 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     import spark.implicits._
     val src = (0L until 10L).map(i => (i, s"row$i")).toDF("id", "payload")
     val edges = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("u", "v")
-    val out = ConnectedComponents.assign(src, "id", edges)
+    val assigned = ConnectedComponents.assign(src, "id", edges)
+    val out = assigned
       .select("id", "cluster_id", "cluster_size")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    ConnectedComponents.release(assigned)
     assert(out.contains((0L, 0L, 3L)))
     assert(out.contains((1L, 0L, 3L)))
     assert(out.contains((2L, 0L, 3L)))

@@ -42,14 +42,47 @@ class DecontaminateSpec extends AnyFunSuite {
     Dedup.release(clean)
   }
 
+  test("idCol == refIdCol (both doc_id) works: internal names carry the pair table") {
+    val ref2 = reference.withColumnRenamed("ref_id", "doc_id")
+    val pairs = Dedup.contaminationPairs(corpus, "doc_id", "text",
+      ref2, "doc_id", "text", cfg)
+    // collision-proof output naming: the ref side is suffixed
+    assert(pairs.columns.toSeq == Seq("doc_id", "doc_id_ref", "sim"))
+    val got = pairs.select($"doc_id", $"doc_id_ref").as[(Long, Long)].collect().toSet
+    assert(got == Set((2L, 900L)))
+    Dedup.release(pairs)
+    val clean = Dedup.decontaminate(corpus, "doc_id", "text", ref2, "doc_id", "text", cfg)
+    assert(clean.select($"doc_id").as[Long].collect().toSet ==
+      Set(0L, 1L, 3L, 4L, 5L, 100L, 101L))
+    Dedup.release(clean)
+  }
+
+  test("probe-broadcast bound: shuffle left_semi fallback gives identical pairs") {
+    // cap of 1 forces every candidate set over the bound — the sided
+    // verify must switch to the shuffle semi join with no result change
+    val bounded = cfg.copy(maxProbeBroadcast = 1L)
+    val pairs = Dedup.contaminationPairs(corpus, "doc_id", "text",
+      reference, "ref_id", "text", bounded)
+    val got = pairs.select($"doc_id", $"ref_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((2L, 900L)))
+    Dedup.release(pairs)
+  }
+
   test("no persisted blocks survive after release") {
+    // scope the hygiene assertion to RDDs created by THIS test: the
+    // session is shared across suites, so a global isEmpty check would
+    // flake on suite ordering (r3 verdict: it inherited another suite's
+    // leak and blamed this operator)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val clean = Dedup.decontaminate(corpus, "doc_id", "text",
       reference, "ref_id", "text", cfg)
     clean.count()
     Dedup.release(clean)
     // the operator frees its own signature/candidate persists; release
     // drops the checkpointed pair table behind the result
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-      spark.sparkContext.getPersistentRDDs.values.map(_.name).mkString(", "))
+    val leaked = spark.sparkContext.getPersistentRDDs.filter {
+      case (id, _) => !before.contains(id)
+    }
+    assert(leaked.isEmpty, leaked.values.map(_.name).mkString(", "))
   }
 }

@@ -37,6 +37,19 @@ class DedupCanonicalSpec extends AnyFunSuite {
     assert(out.select($"doc_id").as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("canonicalDocs: a null prefer value never beats a real one") {
+    // r3 ADVICE: null sorts FIRST in the nulls-first struct comparison,
+    // so a null-text row (prefer = length(null) = null) used to win.
+    val clustered = Seq(
+      (1L, null.asInstanceOf[String], 1L), (2L, "real", 1L),
+      // all-null cluster: falls back to lowest id
+      (10L, null.asInstanceOf[String], 10L), (11L, null.asInstanceOf[String], 10L)
+    ).toDF("doc_id", "text", "cluster_id")
+    val out = Dedup.canonicalDocs(clustered, "doc_id", length($"text"))
+      .select($"cluster_id", $"doc_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L), (10L, 10L)))
+  }
+
   test("canonicalDocs plan: partial aggregation, no window") {
     val clustered = Seq((1L, "a", 1L)).toDF("doc_id", "text", "cluster_id")
     val plan = Dedup.canonicalDocs(clustered, "doc_id", length($"text"))

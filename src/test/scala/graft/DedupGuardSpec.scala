@@ -72,11 +72,15 @@ class DedupGuardSpec extends AnyFunSuite {
       .agg(org.apache.spark.sql.functions.max(col("largest_bucket"))).head().getLong(0)
     assert(largest >= 60, s"fixture must plant a mega-bucket, got $largest")
 
-    def clusters(maxBucket: Int): Set[Set[Long]] =
-      Dedup.simhashClusters(df, "doc_id", "text", radius = 3, maxBucket = maxBucket)
+    def clusters(maxBucket: Int): Set[Set[Long]] = {
+      val labeled = Dedup.simhashClusters(df, "doc_id", "text", radius = 3, maxBucket = maxBucket)
+      val out = labeled
         .select(col("doc_id"), col("cluster_id")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSeq
         .groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+      Dedup.release(labeled) // same consume-then-release lifecycle production uses
+      out
+    }
     val unguarded = clusters(0)
     val guarded = clusters(10) // cap far below the 60-doc bucket
     assert(unguarded == guarded,

@@ -92,6 +92,65 @@ class JobConfigSpec extends AnyFunSuite {
     assert(got(20L) != got(1L) && got(20L) != got(10L), "singleton stays apart")
   }
 
+  test("decontaminate mode: parse, dependency checks, end-to-end run") {
+    // dependency checks
+    val e1 = intercept[IllegalArgumentException] {
+      JobConfig.parse("""{"mode": "decontaminate", "source1": "a.csv", "output": "o"}""")
+    }
+    assert(e1.getMessage.contains("decontaminate mode requires source2"))
+    val e2 = intercept[IllegalArgumentException] {
+      JobConfig.parse("""{"mode": "decontaminate", "source2": "r.csv", "output": "o"}""")
+    }
+    assert(e2.getMessage.contains("decontaminate mode requires source1"))
+
+    // e2e: corpus doc 2 near-dups the eval set and must be dropped;
+    // the corpus-internal near-dup pair (100, 101) must survive
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("deconcfg")
+    def mk(tag: String) = (1 to 30).map(i => s"$tag$i").mkString(" ")
+    val corpusPath = dir.resolve("corpus.parquet").toString
+    ((0L to 5L).map(g => (g, mk(s"c$g"))) ++
+      Seq((100L, mk("dup")), (101L, mk("dup") + " extra")))
+      .toDF("id", "text").write.parquet(corpusPath)
+    val refPath = dir.resolve("ref.parquet").toString
+    Seq((900L, mk("c2") + " evaltail"), (901L, mk("fresh")))
+      .toDF("id", "text").write.parquet(refPath)
+    val out = dir.resolve("clean.parquet").toString
+    val cfgPath = dir.resolve("cfg.json")
+    java.nio.file.Files.writeString(cfgPath,
+      s"""{"mode": "decontaminate", "source1": "$corpusPath",
+         | "source2": "$refPath", "output": "$out",
+         | "cluster_config": {"threshold": 0.8,
+         |   "columns": [{"source1": "text", "weight": 1.0}]}}""".stripMargin)
+    Main.runConfig(spark, cfgPath.toString)
+    val ids = spark.read.parquet(out).select("id").as[Long].collect().toSet
+    assert(ids == Set(0L, 1L, 3L, 4L, 5L, 100L, 101L), s"got $ids")
+  }
+
+  test("clustering canonical: true writes the survivor corpus next to the clusters") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("canoncfg")
+    val src = dir.resolve("docs.parquet").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    Seq((1L, base), (2L, base + " longertail"),
+      (20L, "unrelated totally different words entirely here now then"))
+      .toDF("id", "text").write.parquet(src)
+    val out = dir.resolve("clusters.parquet").toString
+    val cfgPath = dir.resolve("cfg.json")
+    java.nio.file.Files.writeString(cfgPath,
+      s"""{"mode": "clustering", "source1": "$src", "output": "$out",
+         | "cluster_config": {"threshold": 0.5, "canonical": true,
+         |   "columns": [{"source1": "text", "weight": 1.0}]}}""".stripMargin)
+    Main.runConfig(spark, cfgPath.toString)
+    val canon = spark.read.parquet(out + "_canonical")
+    val ids = canon.select("id").as[Long].collect().toSet
+    // survivor of the near-dup pair = the longer text (id 2); singleton kept
+    assert(ids == Set(2L, 20L), s"got $ids")
+    assert(canon.columns.toSet == Set("id", "text", "cluster_id", "cluster_size"))
+  }
+
   test("mode dependency errors match the reference text") {
     val e1 = intercept[IllegalArgumentException] {
       JobConfig.parse("""{"mode": "clustering", "source1": "a.csv", "source2": "b.csv", "output": "o"}""")

@@ -75,6 +75,12 @@ class NormalizersSpec extends AnyFunSuite {
     assert(eval1(normalizeUrl, "http://a.com/") == "http://a.com")
     // www only stripped as a host prefix label, not mid-host
     assert(eval1(normalizeUrl, "http://nwww.a.com/x") == "http://nwww.a.com/x")
+    // www IS the registrable host: must survive (r3 ADVICE — stripping
+    // would conflate http://www.com with a different origin)
+    assert(eval1(normalizeUrl, "http://www.com/x") == "http://www.com/x")
+    assert(eval1(normalizeUrl, "HTTP://WWW.COM") == "http://www.com")
+    // two labels after the strip point: stripped as before
+    assert(eval1(normalizeUrl, "http://www.a.com/x") == "http://a.com/x")
     // non-URL strings pass through trimmed, untouched
     assert(eval1(normalizeUrl, "  not a url  ") == "not a url")
     assert(eval1(normalizeUrl, null) == "")
