@@ -21,7 +21,15 @@ import graft.matching.{MatchColumn, MatchOptions, Matching}
   * Also times a reference-workload-shaped 10k x 10k fuzzy match
   * (30x30 name pool, email/phone columns, first_char+three_gram
   * blocking — mirrors tests/test_large_scale_accuracy.py:26-72 and its
-  * <300 s bound) and a headline subset of SparkEntry.queries.
+  * <300 s bound), a headline subset of SparkEntry.queries, the
+  * persisted-IVF probe vs brute-force ANN, and the incremental-merge
+  * crossover series (batch:base 1:8 / 1:32 / 1:128).
+  *
+  * Session ordering (round 4): light per-query/match/ANN timings run
+  * FIRST in a fresh session; the scaling children next (pristine JVMs);
+  * the min-of-3 headline in another fresh session; the merge series
+  * LAST — so no timed section inherits a heavyweight predecessor's
+  * heap/shuffle state (the r3 builder-vs-driver discrepancy).
   *
   * Prints ONE JSON line; writes BENCH.md with the same numbers.
   */
@@ -31,11 +39,27 @@ object Bench {
   private val CoresHi = 4
   private val CoresMax = 32
 
+  /** Reducer count per level: 4x the cores, capped at this box's 32
+    * threads — the rule a real deployment follows (2-4 tasks per core
+    * so one straggler costs 1/16 of a wave, not 1/4), applied
+    * identically to every level. Measured on the 640k-doc corpus:
+    * 4 cores ran 57.8 s at 16 partitions vs 65.3 s at 4 (straggler
+    * quantization: with partitions == cores one slow task adds 25%
+    * wall) and 64.0 s at 32 (per-task overhead wins past 4x);
+    * 32 cores ran 27.7 s at 32 partitions vs 83.7 s at 128 (this box
+    * is memory-bandwidth-bound at full threads — extra reducers only
+    * add shuffle overhead; a real multi-host cluster is not, which is
+    * why the cap is the box's thread count, not a constant).
+    */
+  private def shufflePartitions(cores: Int): Int =
+    sys.env.get("SPARK_GRAFT_SHUFFLE").map(_.toInt)
+      .getOrElse(math.max(cores, math.min(4 * cores, 32)))
+
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
-      .config("spark.sql.shuffle.partitions", math.max(cores, 4).toString)
+      .config("spark.sql.shuffle.partitions", shufflePartitions(cores).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -218,7 +242,54 @@ object Bench {
       Dedup.stateClusters(st).count(); st.release()
     }
 
-    // ---- scaling: identical job, two parallelism levels (N vs 4N),
+    // ---- A. per-query + reference-match + ANN timings, in a FRESH
+    // session BEFORE any multi-minute dedup/merge job. Round 3 timed
+    // these LAST, in a session that had just executed the heavyweight
+    // merge benchmark — the same inherited-session contamination the
+    // scaling protocol guards against, and the likely reason the
+    // driver's r3 run measured unchanged trivial queries up to 9x
+    // slower than the builder's committed numbers.
+    spark = session(CoresMax)
+    warm(spark)
+    val headline = Seq("dedup_minhash_clusters", "dedup_exact", "dedup_ngram_jaccard",
+      "ann_topk", "text_stats", "q_lineitem_agg", "q_orders_best")
+    val perQuery = headline.map { name =>
+      val fn = SparkEntry.queries(name)
+      name -> math.min(time(fn(spark, sfDir).count()), time(fn(spark, sfDir).count()))
+    }
+
+    // ANN: persisted-IVF probe vs brute force on the SAME query set
+    // (10% of the embeddings table, top-5). The index build is untimed
+    // — it is the committed warehouse artifact a pipeline amortizes
+    // over every probe batch; the row shows what the probe then costs.
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val annQ = emb.where($"vec_id" % 10 === 0)
+      .select(($"vec_id" + 1000000).as("vec_id"), $"embedding")
+    val ivfWh = new graft.io.Warehouse(
+      java.nio.file.Files.createTempDirectory("bench_ivf").toString, spark)
+    graft.emb.IvfIndex.build(ivfWh, emb, "vec_id", "embedding", nlist = 16, iters = 3)
+    def timeAnn(f: => Long): Double = math.min(time(f), time(f))
+    val tAnnBrute = timeAnn(
+      graft.emb.Embeddings.bruteForceTopK(emb, annQ, "vec_id", "embedding", 5).count())
+    val tAnnIvf = timeAnn(
+      graft.emb.IvfIndex.probe(ivfWh, annQ, "vec_id", "embedding", k = 5, nprobe = 4).count())
+
+    // ---- reference-workload match (10k x 10k, blocking on).
+    // Both sides are identical copies (the reference fixture's shape,
+    // test_large_scale_accuracy.py:100-106), so with early termination
+    // on (both engines' default) every probe row short-circuits on its
+    // perfect twin. The `scored` variant disables the shortcut and
+    // times the full candidate-join + scoring path (hot-key salted).
+    // min-of-2: this workload's host-noise spread is 2-3x (see BENCH.md)
+    val tMatch = math.min(
+      time(matchJob(spark, 10000, earlyTermination = true)),
+      time(matchJob(spark, 10000, earlyTermination = true)))
+    val tMatchScored = math.min(
+      time(matchJob(spark, 10000, earlyTermination = false)),
+      time(matchJob(spark, 10000, earlyTermination = false)))
+    spark.stop()
+
+    // ---- B. scaling: identical job, two parallelism levels (N vs 4N),
     // each level in its own PRISTINE JVM (the faithful analogue of a
     // separate spark-submit per cluster size — and measured necessary:
     // a level timed after another level's sessions in the same JVM
@@ -226,7 +297,6 @@ object Bench {
     // INTERLEAVED (lo, hi, lo, hi) with min per level: host noise is
     // bursty on multi-minute windows, so two back-to-back runs of one
     // level share the same burst.
-    spark.stop()
     // three interleave rounds at the half corpus (min-per-level needs a
     // quiet window PER LEVEL, and this host's identical-run spread is
     // 10-20% on multi-minute windows); one round when an env override
@@ -248,36 +318,44 @@ object Bench {
     val thrHi = nScalingDocs / tHi
     val efficiency = (tLo / tHi) / (CoresHi.toDouble / CoresLo)
 
-    // ---- absolute-throughput headline at all threads (min-of-2, like
-    // every other timed metric: this host's identical-run spread is 2-3x)
+    // ---- C. absolute-throughput headline at all threads, fresh
+    // session, min-of-3 (r3 verdict: min-of-2 did not absorb this
+    // host's bursty noise — the builder/driver headline spread was 3x)
     spark = session(CoresMax)
     warm(spark)
-    val tMax = math.min(time(dedupJob(spark, corpusPath)), time(dedupJob(spark, corpusPath)))
+    val tMax = Seq.fill(3)(time(dedupJob(spark, corpusPath))).min
     val thrMax = nDocs / tMax
 
-    // ---- incremental merge: the per-crawl-snapshot operation. Base =
+    // ---- D. incremental merge LAST (nothing downstream inherits its
+    // session state): the per-crawl-snapshot operation. Base = the
     // clustered 7/8 of the corpus (untimed — it is the committed state
-    // a pipeline already has); timed = addBatch of the remaining 1/8,
-    // where EVERY batch doc near-dups a base cluster (replica slice:
-    // the worst case for touched-cluster fan-in). The comparison point
-    // is the full-recompute time tMax — the cost a non-incremental
-    // engine pays per snapshot.
+    // a pipeline already has); timed = addBatch of a batch that is
+    // entirely near-dups of base clusters (worst-case touched-cluster
+    // fan-in), at three batch:base ratios — the crossover series the
+    // incremental claim rests on (merge cost is O(batch + touched
+    // clusters) plus a corpus-linear relabel join, so the advantage
+    // over full recompute must WIDEN as the batch shrinks).
     val corpus = spark.read.parquet(corpusPath)
+    val baseId = corpus("doc_id") % 10000000L
     val replicaIdx = pmod((corpus("doc_id") / 10000000L).cast("long"), lit(reps))
     val baseDocs = corpus.where(replicaIdx =!= (reps - 1))
-    val batchDocs = corpus.where(replicaIdx === (reps - 1))
-    val nBatch = batchDocs.count()
-    val baseState = Dedup.clusterState(baseDocs, "doc_id", "text", benchCfg)
+    val nBase = baseDocs.count()
+    // the committed state a pipeline already has: clusters + signatures
+    // + the persisted band index (withBandIndex — the warehouse's
+    // band-bucketed table; decision 10), all untimed. With it each
+    // merge's probe is O(batch + index scan), not O(base re-band).
+    val baseState = Dedup.withBandIndex(
+      Dedup.clusterState(baseDocs, "doc_id", "text", benchCfg))
     baseState.assignments.count() // force the untimed base build
-    // min-of-2 like every other timed metric. Releases are deferred
-    // until both merges ran: a merged state's release() frees the BASE
-    // signature persist too (it is part of the successor chain), which
-    // would silently un-warm the second merge.
+    // min-of-2 per ratio. Releases are deferred until every merge ran:
+    // a merged state's release() frees the BASE signature persist too
+    // (it is part of the successor chain), which would silently
+    // un-warm the later merges.
     var mergedStates = List.empty[graft.dedup.ClusterState]
-    def mergeOnce(): Double = {
+    def mergeOnce(batch: DataFrame): Double = {
       var ms: graft.dedup.ClusterState = null
       val t = time {
-        ms = Dedup.addBatch(baseState, batchDocs, "doc_id", "text", benchCfg)
+        ms = Dedup.addBatch(baseState, batch, "doc_id", "text", benchCfg)
         // force the merged ASSIGNMENT table — the committed state the
         // next generation needs. (stateClusters would add a full sizing
         // groupBy+join that belongs to reporting, not the merge.)
@@ -286,40 +364,34 @@ object Bench {
       mergedStates ::= ms
       t
     }
-    val tAddBatch = math.min(mergeOnce(), mergeOnce())
+    // nested batches inside the held-out replica slice: 1/8, 1/32,
+    // 1/128 of the corpus (sub-sampled by base doc id, deterministic)
+    val mergeRatios = Seq(8, 32, 128).map { denom =>
+      val batch = corpus.where(replicaIdx === (reps - 1) && baseId % (denom / 8) === 0)
+      val nB = batch.count()
+      val t = math.min(mergeOnce(batch), mergeOnce(batch))
+      // recompute comparison: a non-incremental engine re-clusters
+      // base+batch from scratch; estimated from the headline wall
+      // scaled by doc count (throughput at fixed resources is linear
+      // in docs at these sizes — ScaleProbe series in ARCHITECTURE.md)
+      val recompute = tMax * (nBase + nB).toDouble / nDocs
+      (denom, nB, t, recompute)
+    }
     mergedStates.foreach(_.release()); baseState.release()
+    spark.stop()
+    val (_, nBatch, tAddBatch, _) = mergeRatios.head
     val thrBatch = nBatch / tAddBatch
 
-    // ---- reference-workload match (10k x 10k, blocking on).
-    // Both sides are identical copies (the reference fixture's shape,
-    // test_large_scale_accuracy.py:100-106), so with early termination
-    // on (both engines' default) every probe row short-circuits on its
-    // perfect twin. The `scored` variant disables the shortcut and
-    // times the full candidate-join + scoring path (hot-key salted).
-    // min-of-2: this workload's host-noise spread is 2-3x (see BENCH.md)
-    val tMatch = math.min(
-      time(matchJob(spark, 10000, earlyTermination = true)),
-      time(matchJob(spark, 10000, earlyTermination = true)))
-    val tMatchScored = math.min(
-      time(matchJob(spark, 10000, earlyTermination = false)),
-      time(matchJob(spark, 10000, earlyTermination = false)))
-
-    // ---- headline per-query timings at full cores
-    val headline = Seq("dedup_minhash_clusters", "dedup_exact", "dedup_ngram_jaccard",
-      "ann_topk", "text_stats", "q_lineitem_agg", "q_orders_best")
-    val perQuery = headline.map { name =>
-      val fn = SparkEntry.queries(name)
-      name -> math.min(time(fn(spark, sfDir).count()), time(fn(spark, sfDir).count()))
-    }
-    spark.stop()
-
     val allQueries = perQuery ++ Seq(
+      "ann_brute_topk" -> tAnnBrute,
+      "ann_ivf_probe" -> tAnnIvf,
       s"web_dedup_${CoresLo}c" -> tLo,
       s"web_dedup_${CoresHi}c" -> tHi,
       s"web_dedup_${CoresMax}c" -> tMax,
       s"web_dedup_addbatch_${CoresMax}c" -> tAddBatch,
       "match_10kx10k" -> tMatch,
-      "match_scored_10kx10k" -> tMatchScored)
+      "match_scored_10kx10k" -> tMatchScored) ++
+      mergeRatios.tail.map { case (d, _, t, _) => s"web_dedup_addbatch_1in$d" -> t }
     val qJson = allQueries.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val json =
       f"""{"metric":"dedup_docs_per_sec_${CoresMax}c","value":$thrMax%.1f,"unit":"docs/sec","queries":$qJson,"sf":"$sfDir","scaling":{"docs":$nScalingDocs,"cores_lo":$CoresLo,"cores_hi":$CoresHi,"sec_lo":$tLo%.2f,"sec_hi":$tHi%.2f,"docs_per_sec_lo":$thrLo%.1f,"docs_per_sec_hi":$thrHi%.1f,"efficiency":$efficiency%.3f,"efficiency_rounds":$roundEffJson,"amdahl_tail_sec":$amdahlTail%.1f,"samples_lo_hi":$samplesJson}}"""
@@ -344,17 +416,34 @@ object Bench {
          || $CoresHi | $nScalingDocs%d | $tHi%.2f | $thrHi%.1f |
          || $CoresMax (headline) | $nDocs%d | $tMax%.2f | $thrMax%.1f |
          |
-         |Incremental merge (the per-crawl-snapshot operation): adding
-         |the last 1/8 of the corpus ($nBatch%d docs, every one a near-dup
-         |of a base cluster — worst-case touched-cluster fan-in) onto the
-         |clustered 7/8 base takes **$tAddBatch%.1f s** ($thrBatch%.1f docs/sec)
-         |vs $tMax%.1f s for the full recompute a non-incremental engine
-         |pays per snapshot. The candidate/verify work is O(batch +
-         |touched clusters); the only corpus-sized step is the final
-         |relabel — one linear hash join on cluster_id over the
+         |Incremental merge (the per-crawl-snapshot operation): addBatch
+         |of a batch that is entirely near-dups of base clusters
+         |(worst-case touched-cluster fan-in) onto the clustered
+         |$nBase%d-doc base, at three batch:base ratios. "recompute" is
+         |what a non-incremental engine pays for the same snapshot: the
+         |headline wall scaled to base+batch docs (throughput is linear
+         |in corpus size at these scales — ScaleProbe series,
+         |ARCHITECTURE.md). The merge's only corpus-sized step is the
+         |final relabel — one linear hash join on cluster_id over the
          |assignment table (an APPEND + merge-on-read in a real Iceberg
-         |warehouse) — so the gap over full recompute widens as the
-         |corpus outgrows the batch.
+         |warehouse) — so the advantage widens as the batch:corpus
+         |ratio shrinks, which is the regime a crawl pipeline lives in
+         |(a daily snapshot is ~1/1000 of the accumulated corpus):
+         |
+         || batch | docs | merge s | docs/sec | recompute s | speedup |
+         ||---|---|---|---|---|---|
+         |${mergeRatios.map { case (d, nB, t, rc) =>
+            f"| 1/$d of corpus | $nB%d | $t%.1f | ${nB / t}%.0f | $rc%.1f | ${rc / t}%.1fx |"
+          }.mkString("\n|")}
+         |
+         |ANN probe vs brute force (top-5 over the sf embeddings table,
+         |10%% of rows as queries): brute-force cosine $tAnnBrute%.2f s;
+         |probing the PERSISTED IVF index (nlist=16, nprobe=4, build
+         |untimed — the committed warehouse artifact is amortized over
+         |every probe batch) $tAnnIvf%.2f s
+         |(${tAnnBrute / tAnnIvf}%.1fx faster; the gap scales with
+         |corpus size as the probe reads only nprobe/nlist of the
+         |cid-partitioned cells).
          |
          |**Scaling efficiency ($CoresLo -> $CoresHi cores, the 4x step):
          |$efficiency%.3f** (target >= 0.8 per BASELINE.json; per-round
@@ -372,8 +461,16 @@ object Bench {
          |lazy-cache thundering herd — docs/ARCHITECTURE.md decision 12).
          |The driver-overhead part of the tail is corpus-size-independent
          |and keeps shrinking as a fraction at every larger scale.
-         |Methodology: identical input; shuffle partitions pinned to
-         |max(cores, 4). Each scaling level runs in its own PRISTINE
+         |Methodology: identical input; shuffle partitions follow the
+         |SAME rule at every level — max(cores, min(4*cores, 32)), i.e.
+         |2-4 reducer tasks per core exactly as a real deployment sizes
+         |them (measured: partitions == cores quantizes each stage onto
+         |one task wave, so a single straggler adds 25%% wall at 4
+         |cores — 65.3 s at 4 partitions vs 57.8 s at 16; the cap is
+         |this box's thread count, where memory bandwidth saturates and
+         |extra reducers only add overhead — 128 partitions at 32
+         |threads measured 3x slower). Each scaling level runs in its
+         |own PRISTINE
          |JVM (the faithful analogue of one spark-submit per cluster
          |size; a level timed after another level in the same JVM runs
          |up to 30%% slow from inherited heap/shuffle state), sized as
@@ -388,7 +485,13 @@ object Bench {
          |INTERLEAVED (lo, hi, lo, hi; min per level) because host
          |noise is bursty on multi-minute windows. All raw samples:
          |${runs.map { case (l, h) => f"lo=$l%.1f s / hi=$h%.1f s" }.mkString("; ")}.
-         |Headline and per-query numbers are min-of-2 in-session.
+         |Session ordering (hardened in round 4 — round 3 timed the
+         |per-query set AFTER the multi-minute merge benchmark in the
+         |same session, inheriting its heap/shuffle state): per-query +
+         |match + ANN timings run FIRST in a fresh session, then the
+         |scaling children, then the headline (min-of-3 in a fresh
+         |session; min-of-2 was not robust to this host's bursts), and
+         |the merge series LAST. Per-query numbers are min-of-2.
          |
          |Reference comparison (BASELINE.md): the reference's 10Kx10K fuzzy
          |match bound is < 300 s (4 workers). Ours (same workload shape:

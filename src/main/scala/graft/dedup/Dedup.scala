@@ -123,7 +123,17 @@ final case class DedupConfig(
   * merge a new crawl batch without recomputing old-old pairs.
   */
 final case class ClusterState(assignments: DataFrame, signatures: DataFrame,
-    cfg: DedupConfig, retained: Seq[DataFrame] = Nil) {
+    cfg: DedupConfig, retained: Seq[DataFrame] = Nil,
+    /** Optional persisted LSH band index over `signatures` — (band,
+      * bh, id), hot buckets pre-degraded, hash-partitioned on (band,
+      * bh). The in-session analogue of the committed band-index table
+      * a real warehouse keeps next to the signature table: with it,
+      * [[Dedup.addBatch]]'s probe is O(batch) — the base is neither
+      * re-banded nor shuffled per merge (the probe side repartitions
+      * to the index's partitioning). Build once via
+      * [[Dedup.withBandIndex]]; amortized over every subsequent merge.
+      */
+    bands: Option[DataFrame] = None) {
   /** Free every persisted signature generation in the chain plus the
     * label checkpoints, once the state (or the successor chain built
     * from it) is fully consumed. `retained` tracks the chain's
@@ -132,6 +142,7 @@ final case class ClusterState(assignments: DataFrame, signatures: DataFrame,
     */
   def release(): Unit = {
     (signatures +: retained).foreach(_.unpersist(blocking = false))
+    bands.foreach(_.unpersist(blocking = false))
     graft.CacheHygiene.releaseCheckpoints(assignments)
     ()
   }
@@ -198,12 +209,15 @@ object Dedup {
     // .explain); posexplode skips null arrays and verify drops null
     // sims, so empty docs fall out downstream for free
     if (cfg.charShingles) {
-      val sh = char_shingles(text, cfg.shingleK)
+      // fused one-pass char-shingle kernels (byte-identical to the
+      // char_shingles composition — a char shingle is a contiguous
+      // byte range of the text, so no per-shingle strings exist;
+      // r3 VERDICT task 8 closed the word/char asymmetry)
       df.select(
         col(idCol).cast("long").as("id"),
-        minhash_signature(sh, cfg.numHashes, cfg.seed).as("sig"),
+        minhash_chars(text, cfg.shingleK, cfg.numHashes, cfg.seed).as("sig"),
         simhash64(ws_tokens(text), cfg.seed).as("simhash"),
-        (if (cfg.exactVerify) array_distinct(transform(sh, s => xxhash64(s)))
+        (if (cfg.exactVerify) shingle_hashes_chars(text, cfg.shingleK)
         else lit(null).cast("array<long>")).as("shingle_hashes"),
         xxhash64(text).as("th1"), xxhash64(text, lit(1)).as("th2"))
     } else {
@@ -469,29 +483,63 @@ object Dedup {
     * representative instead of fanning out to the whole bucket.
     */
   def crossCandidates(newSigs: DataFrame, oldSigs: DataFrame,
-      cfg: DedupConfig = DedupConfig()): DataFrame = {
+      cfg: DedupConfig = DedupConfig()): DataFrame =
+    crossCandidatesVia(newSigs, bandRowsGuarded(oldSigs, cfg), cfg)
+
+  /** (id, band, bh) rows of a signature table — one per (doc, band). */
+  private def bandRows(sigs: DataFrame, cfg: DedupConfig): DataFrame = {
     val r = cfg.rowsPerBand
-    def bandRows(sigs: DataFrame) = {
-      val bandArr = array((0 until cfg.bands).map(b =>
-        xxhash64(slice($"sig", b * r + 1, r), lit(b))): _*)
-      sigs.select($"id", posexplode(bandArr).as(Seq("band", "bh")))
-    }
-    val newBands = bandRows(newSigs)
-    var oldBands = bandRows(oldSigs)
+    val bandArr = array((0 until cfg.bands).map(b =>
+      xxhash64(slice($"sig", b * r + 1, r), lit(b))): _*)
+    sigs.select($"id", posexplode(bandArr).as(Seq("band", "bh")))
+  }
+
+  /** Band rows with the hot-bucket degrade applied (when
+    * cfg.maxBandBucket > 0): an oversized bucket keeps only its min-id
+    * member, so a probe still reaches that cluster through one
+    * representative instead of fanning out to the whole bucket.
+    */
+  private def bandRowsGuarded(sigs: DataFrame, cfg: DedupConfig): DataFrame = {
+    var rows = bandRows(sigs, cfg)
     if (cfg.maxBandBucket > 0) {
-      val hot = oldBands.groupBy($"band", $"bh").agg(
+      val hot = rows.groupBy($"band", $"bh").agg(
           count(lit(1)).as("_n"), min($"id").as("_mn"))
         .where($"_n" > cfg.maxBandBucket)
         .select($"band", $"bh", $"_mn")
-      oldBands = oldBands.join(broadcast(hot), Seq("band", "bh"), "left")
+      rows = rows.join(broadcast(hot), Seq("band", "bh"), "left")
         .where($"_mn".isNull || $"id" === $"_mn")
         .drop("_mn")
     }
-    newBands.select($"band", $"bh", $"id".as("id1"))
+    rows
+  }
+
+  private def crossCandidatesVia(newSigs: DataFrame, oldBands: DataFrame,
+      cfg: DedupConfig): DataFrame =
+    bandRows(newSigs, cfg).select($"band", $"bh", $"id".as("id1"))
       .join(oldBands.select($"band", $"bh", $"id".as("id2")), Seq("band", "bh"))
       .select($"id1", $"id2")
       .distinct()
-  }
+
+  /** Materialize the state's LSH band index: (band, bh, id) rows over
+    * the state's signatures, hot buckets pre-degraded, hash-partitioned
+    * on (band, bh) and persisted — the in-session analogue of the
+    * committed band-index table a real warehouse keeps (Iceberg table
+    * bucketed by (band, bh); decision 10). One-time O(base) cost; every
+    * subsequent [[addBatch]]/[[decontaminate]]-style probe then joins
+    * the index CO-LOCATED — the base corpus is never re-banded or
+    * re-shuffled per merge, making the probe O(batch + index scan).
+    * Idempotent (returns `state` if the index exists). Freed by
+    * [[ClusterState.release]].
+    */
+  def withBandIndex(state: ClusterState): ClusterState =
+    if (state.bands.isDefined) state
+    else {
+      val ix = bandRowsGuarded(state.signatures, state.cfg)
+        .repartition($"band", $"bh")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ix.count() // one build job; probes read blocks
+      state.copy(bands = Some(ix))
+    }
 
   /** Cross verify for incremental merges: `candidates` id1 always
     * comes from `newSigs` (the batch) and id2 from `oldSigs` (the
@@ -628,10 +676,15 @@ object Dedup {
     // side — the base signature table is scanned once and never
     // shuffled (measured: the old two-sided union shipped it through
     // BOTH verify join sides, and the merge cost 2.2x a full
-    // recompute). The candidate table persists because it feeds both
-    // the probed-id broadcast and the verify join; the eager count
-    // keeps AQE from materializing those consumers as a stage herd.
-    val cross = crossCandidates(newSigs, state.signatures, cfg)
+    // recompute). With a band index on the state ([[withBandIndex]])
+    // the base is not even re-BANDED: the probe joins the persisted
+    // co-located index, so per-merge band cost is O(batch + index
+    // scan) instead of O(base explode + shuffle). The candidate table
+    // persists because it feeds both the probed-id broadcast and the
+    // verify join; the eager count keeps AQE from materializing those
+    // consumers as a stage herd.
+    val cross = state.bands.map(ix => crossCandidatesVia(newSigs, ix, cfg))
+      .getOrElse(crossCandidates(newSigs, state.signatures, cfg))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cross.count()
     val no = verifyPairsCross(cross, newSigs, state.signatures, cfg)
@@ -670,10 +723,15 @@ object Dedup {
     // the successor state's verify capability is the WEAKEST in the
     // chain: a batch signed without shingle sets leaves nulls in the
     // signature union, so a later exactVerify merge must be refused
+    // successor bands = None: the base index is stale for the grown
+    // signature set — rebuild via withBandIndex (cheap relative to a
+    // merge; a warehouse would commit the appended index instead). The
+    // base's index rides `retained` so releasing the successor chain
+    // frees it.
     ClusterState(oldFinal.unionByName(newFinal),
       state.signatures.unionByName(newSigs),
       state.cfg.copy(exactVerify = state.cfg.exactVerify && cfg.exactVerify),
-      retained = (state.signatures +: state.retained) :+ newSigs)
+      retained = (state.signatures +: (state.retained ++ state.bands.toSeq)) :+ newSigs)
   }
 
   /** Materialize a state as the standard cluster table

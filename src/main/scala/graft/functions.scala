@@ -118,6 +118,18 @@ object functions {
   /** = simhash64(ws_tokens(text), seed). */
   def simhash_words(text: Column, seed: Long): Column = col2(SimHashWords(ex(text), seed))
 
+  /** = minhash_signature(char_shingles(text, k), numHashes, seed) —
+    * the fused CJK/short-text path.
+    */
+  def minhash_chars(text: Column, k: Int, numHashes: Int, seed: Long): Column =
+    col2(MinHashChars(ex(text), k, numHashes, seed))
+
+  /** = array_distinct(transform(char_shingles(text, k), xxhash64)) as
+    * a set (sorted).
+    */
+  def shingle_hashes_chars(text: Column, k: Int, seed: Long = 42L): Column =
+    col2(ShingleHashesChars(ex(text), k, seed))
+
   /** Hamming distance between two 64-bit SimHashes (built-in bit_count). */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

@@ -194,6 +194,87 @@ object HashKernels {
     if (w == out.length) out else java.util.Arrays.copyOf(out, w)
   }
 
+  /** Byte offsets of UTF-8 code-point starts: starts[0..n] with
+    * starts(n) = byte length sentinel, so code point i spans
+    * [starts(i), starts(i+1)) and the char k-shingle starting at i
+    * spans [starts(i), starts(i+k)). A byte starts a code point iff
+    * (b & 0xC0) != 0x80 — the same rule UTF8String.numChars /
+    * substringSQL use, so offsets agree with Spark's `substring`.
+    */
+  private def charStarts(bytes: Array[Byte]): Array[Int] = {
+    val n = bytes.length
+    var count = 0
+    var i = 0
+    while (i < n) { if ((bytes(i) & 0xc0) != 0x80) count += 1; i += 1 }
+    val starts = new Array[Int](count + 1)
+    var c = 0
+    i = 0
+    while (i < n) { if ((bytes(i) & 0xc0) != 0x80) { starts(c) = i; c += 1 }; i += 1 }
+    starts(count) = n
+    starts
+  }
+
+  /** Fused MinHash over character k-shingles (code-point windows) of
+    * text — the CJK/short-text path. Equal to
+    * minhash(char_shingles(text, k), numHashes, seed): a char shingle
+    * is a contiguous byte range of the text, so one byte pass computes
+    * every shingle hash with zero per-shingle allocation. Null for
+    * empty text (no similarity support).
+    */
+  def minhashChars(text: UTF8String, k: Int, numHashes: Int, seed: Long): Array[Long] = {
+    val bytes = text.getBytes
+    if (bytes.length == 0) return null
+    val p = perms(numHashes, seed)
+    val starts = charStarts(bytes)
+    val nChars = starts.length - 1
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val nShingles = if (nChars <= k) 1 else nChars - k + 1
+    val span = if (nChars <= k) nChars else k
+    var j = 0
+    while (j < nShingles) {
+      val from = starts(j)
+      val len = starts(j + span) - from
+      val x = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + from, len, seed)
+      var i = 0
+      while (i < numHashes) {
+        val v = p.a(i) * x + p.b(i)
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    sig
+  }
+
+  /** Fused distinct char-shingle hashes (sorted): equal AS A SET to
+    * array_distinct(transform(char_shingles(text,k), xxhash64)).
+    */
+  def shingleHashesChars(text: UTF8String, k: Int, seed: Long = 42L): Array[Long] = {
+    val bytes = text.getBytes
+    if (bytes.length == 0) return Array.empty[Long]
+    val starts = charStarts(bytes)
+    val nChars = starts.length - 1
+    val nShingles = if (nChars <= k) 1 else nChars - k + 1
+    val span = if (nChars <= k) nChars else k
+    val out = new Array[Long](nShingles)
+    var j = 0
+    while (j < nShingles) {
+      val from = starts(j)
+      out(j) = XXH64.hashUnsafeBytes(
+        bytes, Platform.BYTE_ARRAY_OFFSET + from, starts(j + span) - from, seed)
+      j += 1
+    }
+    java.util.Arrays.sort(out)
+    var w = 0
+    var r = 0
+    while (r < out.length) {
+      if (w == 0 || out(r) != out(w - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    if (w == out.length) out else java.util.Arrays.copyOf(out, w)
+  }
+
   /** Fused SimHash over whitespace tokens of normalized text. Equal to
     * simhash(ws_tokens(text), seed).
     */

@@ -140,6 +140,48 @@ case class ShingleHashes(child: Expression, k: Int, seed: Long)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Fused one-pass MinHash over character k-shingles (code-point
+  * windows) — the CJK/short-text analogue of [[MinHashWords]].
+  * Byte-identical to MinHashSignature(char_shingles(text, k)) with
+  * zero per-shingle allocation.
+  */
+case class MinHashChars(child: Expression, k: Int, numHashes: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = HashKernels.minhashChars(v.asInstanceOf[UTF8String], k, numHashes, seed)
+    if (arr == null) null else UnsafeArrayData.fromPrimitiveArray(arr)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tmp = ctx.freshName("mhc")
+    nullSafeCodeGen(ctx, ev, a => s"""
+      long[] $tmp = graft.sim.HashKernels.minhashChars($a, $k, $numHashes, ${seed}L);
+      if ($tmp == null) { ${ev.isNull} = true; } else {
+        ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($tmp);
+      }""")
+  }
+  override def prettyName: String = "minhash_chars"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Fused distinct char-shingle hashes (sorted array<long>). */
+case class ShingleHashesChars(child: Expression, k: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(
+      HashKernels.shingleHashesChars(v.asInstanceOf[UTF8String], k, seed))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"""
+      ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+        graft.sim.HashKernels.shingleHashesChars($a, $k, ${seed}L));""")
+  override def prettyName: String = "shingle_hashes_chars"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Fused SimHash over whitespace tokens of (pre-normalized) text. */
 case class SimHashWords(child: Expression, seed: Long)
     extends UnaryExpression {

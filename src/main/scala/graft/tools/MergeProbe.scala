@@ -7,12 +7,17 @@ import graft.dedup.{Dedup, DedupConfig}
 /** Dev probe: per-Spark-job wall breakdown of the incremental merge
   * (Dedup.addBatch) on the bench corpus — where the merge's time goes
   * relative to the full recompute.
-  * runMain graft.tools.MergeProbe [cores] [corpusPath]
+  * runMain graft.tools.MergeProbe [cores] [corpusPath] [denom]
+  * denom picks the batch:corpus ratio exactly as Bench's merge series
+  * does (8 = the whole held-out replica slice, 32/128 = subsampled by
+  * base doc id); > 8 also builds the persisted band index on the base
+  * state, the configuration the crossover claim rests on.
   */
 object MergeProbe {
   def main(args: Array[String]): Unit = {
     val cores = args.headOption.getOrElse("32").toInt
     val path = if (args.length > 1) args(1) else "/tmp/graft_bench_corpus"
+    val denom = if (args.length > 2) args(2).toInt else 8
     val spark = SparkSession.builder().master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", math.max(cores, 4).toString)
       .config("spark.sql.adaptive.enabled", "true")
@@ -22,11 +27,14 @@ object MergeProbe {
     import spark.implicits._
 
     val corpus = spark.read.parquet(path)
+    val baseId = corpus("doc_id") % 10000000L
     val replicaIdx = pmod((corpus("doc_id") / 10000000L).cast("long"), lit(8))
     val baseDocs = corpus.where(replicaIdx =!= 7)
-    val batchDocs = corpus.where(replicaIdx === 7)
-    val baseState = Dedup.clusterState(baseDocs, "doc_id", "text", cfg)
+    val batchDocs = corpus.where(replicaIdx === 7 && baseId % (denom / 8) === 0)
+    val baseState = Dedup.withBandIndex(
+      Dedup.clusterState(baseDocs, "doc_id", "text", cfg))
     baseState.assignments.count()
+    println(s"[merge-probe] denom=$denom batch=${batchDocs.count()} docs")
 
     // EXECUTED stages only (SparkListenerStageCompleted never fires for
     // skipped/reused stages), with per-stage task-time and scope names

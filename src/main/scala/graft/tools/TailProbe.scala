@@ -12,8 +12,9 @@ object TailProbe {
     val cores = args.headOption.getOrElse("32").toInt
     val path = if (args.length > 1) args(1) else "/tmp/graft_scale_corpus_16"
     val aqe = sys.env.getOrElse("TAIL_PROBE_AQE", "true")
+    val sp = sys.env.getOrElse("TAIL_PROBE_SHUFFLE", math.max(cores, 4).toString)
     val spark = SparkSession.builder().master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions", math.max(cores, 4).toString)
+      .config("spark.sql.shuffle.partitions", sp)
       .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.ui.enabled", false).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -35,13 +36,21 @@ object TailProbe {
         }
     })
 
+    // the bench's exact job shape (Bench.dedupJob): committed
+    // cluster-table contract, no text join back
+    def job(df: org.apache.spark.sql.DataFrame): Long = {
+      val st = Dedup.clusterState(df, "doc_id", "text", cfg)
+      val n = Dedup.stateClusters(st).count()
+      st.release()
+      n
+    }
     // warmup
-    Dedup.nearDupClusters(spark.read.parquet(path).limit(100000), "doc_id", "text", cfg).count()
+    job(spark.read.parquet(path).limit(100000))
     Thread.sleep(500)
     rows.clear()
     t0 = System.currentTimeMillis()
     val wall0 = System.nanoTime()
-    Dedup.nearDupClusters(spark.read.parquet(path), "doc_id", "text", cfg).count()
+    job(spark.read.parquet(path))
     val wall = (System.nanoTime() - wall0) / 1e9
     Thread.sleep(500)
     val jobs = rows.sortBy(_._1)

@@ -88,6 +88,40 @@ class DedupGuardSpec extends AnyFunSuite {
     assert(guarded.exists(_.size == 60), "the mega-group must stay one cluster")
   }
 
+  test("incremental merge with a hot base band bucket: broadcast bound engages, result unchanged") {
+    // base plants a 40-doc near-dup mega-group (hot band buckets on the
+    // base side of the cross probe) plus singletons; the batch near-dups
+    // the mega-group AND a singleton. maxProbeBroadcast=1 forces the
+    // sided verify onto the shuffle left_semi fallback — the merged
+    // clusters must equal the default broadcast path's.
+    val mega = (0 until 30).map(w => s"hot$w").mkString(" ")
+    val base = ((0L until 40L).map(i => (i, s"$mega tail$i")) ++
+      Seq((500L, (1 to 30).map(w => s"solo$w").mkString(" ")))).toDF("doc_id", "text")
+    val batch = Seq(
+      (1000L, s"$mega tailnew extra"),
+      (1001L, (1 to 30).map(w => s"solo$w").mkString(" ") + " x")).toDF("doc_id", "text")
+    def mergedClusters(cfg: graft.dedup.DedupConfig, index: Boolean = false): Map[Long, Long] = {
+      val st0 = Dedup.clusterState(base, "doc_id", "text", cfg)
+      val st = if (index) Dedup.withBandIndex(st0) else st0
+      val merged = Dedup.addBatch(st, batch, "doc_id", "text", cfg)
+      val out = merged.assignments.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      merged.release(); st.release()
+      out
+    }
+    val cfg = graft.dedup.DedupConfig(exactVerify = true)
+    val viaBroadcast = mergedClusters(cfg)
+    val viaShuffle = mergedClusters(cfg.copy(maxProbeBroadcast = 1L))
+    assert(viaBroadcast == viaShuffle)
+    // the persisted band index (probe path of a committed warehouse):
+    // identical merge result, with and without the hot-bucket guard
+    assert(mergedClusters(cfg, index = true) == viaBroadcast)
+    assert(mergedClusters(cfg.copy(maxBandBucket = 10), index = true) ==
+      mergedClusters(cfg.copy(maxBandBucket = 10)))
+    // sanity: batch docs actually merged into their base clusters
+    assert(viaShuffle(1000L) == viaShuffle(0L), "mega-group merge")
+    assert(viaShuffle(1001L) == viaShuffle(500L), "singleton merge")
+  }
+
   test("winnowing fingerprint DF cap drops boilerplate-only pairs, keeps true spans") {
     // every doc shares a long boilerplate run (ubiquitous fingerprints);
     // docs pair up (2g, 2g+1) through a long group-unique span

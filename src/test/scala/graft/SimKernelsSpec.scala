@@ -212,6 +212,33 @@ class FusedKernelsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("minhash_chars == minhash_signature(char_shingles), incl. multibyte") {
+    import spark.implicits._
+    val k = 5; val n = 64; val seed = 42L
+    // corpus docs + CJK/emoji/mixed-width fixtures (the path's purpose:
+    // short/CJK text where word tokenization is meaningless — the
+    // code-point byte-scan must agree with Spark's substring offsets)
+    val extra = Seq("深層学習のための大規模データ重複排除",
+      "短い", "héllo wörld ünïcode", "日本語とenglishの混在テキスト", "ab",
+      "😀😁😂 emoji text 🎉").toDF("t")
+    val both = docs.select(col("t")).unionAll(extra)
+    val diff = both.select(
+      minhash_chars(col("t"), k, n, seed).as("a"),
+      minhash_signature(char_shingles(col("t"), k), n, seed).as("b"))
+      .where(not(col("a") <=> col("b"))).count()
+    assert(diff == 0)
+  }
+
+  test("shingle_hashes_chars == distinct xxhash64 of char_shingles (as set)") {
+    import spark.implicits._
+    val extra = Seq("同じ文字列同じ文字列", "xyxyxyxyxy", "").toDF("t")
+    val diff = docs.select(col("t")).unionAll(extra).select(
+      shingle_hashes_chars(col("t"), 5).as("a"),
+      array_sort(array_distinct(transform(char_shingles(col("t"), 5), s => xxhash64(s)))).as("b"))
+      .where(not(col("a") <=> col("b"))).count()
+    assert(diff == 0)
+  }
+
   test("fused kernels: empty and short texts") {
     import spark.implicits._
     val df = Seq("", "one", "a b c").toDF("t")
