@@ -133,7 +133,17 @@ final case class ClusterState(assignments: DataFrame, signatures: DataFrame,
       * to the index's partitioning). Build once via
       * [[Dedup.withBandIndex]]; amortized over every subsequent merge.
       */
-    bands: Option[DataFrame] = None) {
+    bands: Option[DataFrame] = None,
+    /** Tiny persisted complement to `bands`, built with it: the
+      * (th1, th2, id) content hashes of the state's NULL-signature
+      * docs (too short to shingle — bands can never surface them). A
+      * merge's cross-boundary exact check only needs THESE rows:
+      * identical real-signature docs collide in every band and verify
+      * at sim 1.0, so the full base-table content-hash join the
+      * index-less path pays is redundant work (measured: two full
+      * scans of the 1.1M-row signature cache per merge).
+      */
+    nullSigs: Option[DataFrame] = None) {
   /** Free every persisted signature generation in the chain plus the
     * label checkpoints, once the state (or the successor chain built
     * from it) is fully consumed. `retained` tracks the chain's
@@ -143,6 +153,8 @@ final case class ClusterState(assignments: DataFrame, signatures: DataFrame,
   def release(): Unit = {
     (signatures +: retained).foreach(_.unpersist(blocking = false))
     bands.foreach(_.unpersist(blocking = false))
+    nullSigs.foreach(_.unpersist(blocking = false))
+    assignments.unpersist(blocking = false)
     graft.CacheHygiene.releaseCheckpoints(assignments)
     ()
   }
@@ -334,8 +346,14 @@ object Dedup {
     // incremental maintenance — a one-shot clustering drops it
     st.signatures.unpersist(blocking = false)
     val sizes = st.assignments.groupBy($"cluster_id").agg(count(lit(1)).as("cluster_size"))
-    df.withColumn(idCol, col(idCol).cast("long"))
+    val res = df.withColumn(idCol, col(idCol).cast("long"))
       .join(st.assignments.join(sizes, "cluster_id").withColumnRenamed("id", idCol), idCol)
+    // the assignment persist is recomputable (plain cache over the
+    // label checkpoints), so it frees itself after the first action on
+    // the result; the checkpoints themselves stay until
+    // Dedup.release(result)
+    graft.CacheHygiene.releaseAfterAction(res,
+      () => { st.assignments.unpersist(blocking = false); () })
   }
 
   /** One surviving row per cluster — the "deduplicated corpus"
@@ -389,10 +407,12 @@ object Dedup {
     * is one row per key).
     *
     * @return (exact star edges rep->member, persisted signature table
-    *         over representatives, free() for the collapse persists)
+    *         over representatives, that table's row count — free from
+    *         the eager persist, sized for join-strategy choices —
+    *         free() for the collapse persists)
     */
   private def collapseAndSign(df: DataFrame, idCol: String, textCol: String,
-      cfg: DedupConfig): (DataFrame, DataFrame, () => Unit) = {
+      cfg: DedupConfig): (DataFrame, DataFrame, Long, () => Unit) = {
     val norm = ensureParallel(df.select(col(idCol).cast("long").as("id"),
         Normalizers.normalizeString(col(textCol)).as("_t")))
       .withColumn("_h1", xxhash64($"_t"))
@@ -429,8 +449,8 @@ object Dedup {
     // herd then reads blocks. norm and grouped fill as its inputs.
     val sigs = signatures(reps, "id", "text", cfg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sigs.count()
-    (exactEdges, sigs, () => {
+    val nSigs = sigs.count()
+    (exactEdges, sigs, nSigs, () => {
       norm.unpersist(blocking = false)
       grouped.unpersist(blocking = false)
       ()
@@ -445,7 +465,7 @@ object Dedup {
     */
   def clusterState(df: DataFrame, idCol: String, textCol: String,
       cfg: DedupConfig = DedupConfig()): ClusterState = {
-    val (exactEdges, sigs, free) = collapseAndSign(df, idCol, textCol, cfg)
+    val (exactEdges, sigs, _, free) = collapseAndSign(df, idCol, textCol, cfg)
     // EAGER pair materialization: the banding/window/distinct/verify
     // chain is the expensive half of the job, and connected components
     // references it from FOUR branches (canon x flip x the initial
@@ -465,9 +485,18 @@ object Dedup {
     // returned state.
     nearEdges.unpersist(blocking = false)
     free()
+    // persisted + EAGER: the assignment table is the state's committed
+    // product and every consumer reads it at least twice
+    // (stateClusters sizes it AND joins it; addBatch relabels it and
+    // unions it) — left lazy, each consumer re-runs the corpus scan +
+    // label join, and AQE materializes concurrent consumers as a
+    // stage herd (decision 12). ~16 bytes/doc, so it fits the same
+    // budget as the signature persist at any per-executor scale.
     val assignments = df.select(col(idCol).cast("long").as("id"))
       .join(labels, Seq("id"), "left")
       .select($"id", coalesce($"cluster_id", $"id").as("cluster_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assignments.count()
     ClusterState(assignments, sigs, cfg)
   }
 
@@ -513,12 +542,28 @@ object Dedup {
     rows
   }
 
+  /** `probeRows` (when >= 0, the probe side's row count = batch docs x
+    * bands — known for free from the collapse's eager count) picks the
+    * join strategy: a small probe BROADCASTS over the old/index side
+    * (which then streams with no exchange and no sort — the index is
+    * already partitioned on the join keys); a large one hints
+    * SHUFFLE_HASH so only the probe side shuffles and the 10-100x
+    * larger index side is never sorted (SMJ, the planner default when
+    * it can't see through the explode, would sort it — measured 4.2 s
+    * of a 24 s merge on a 36M-row index).
+    */
   private def crossCandidatesVia(newSigs: DataFrame, oldBands: DataFrame,
-      cfg: DedupConfig): DataFrame =
-    bandRows(newSigs, cfg).select($"band", $"bh", $"id".as("id1"))
+      cfg: DedupConfig, probeRows: Long = -1L): DataFrame = {
+    val nb = bandRows(newSigs, cfg).select($"band", $"bh", $"id".as("id1"))
+    val probe =
+      if (probeRows < 0) nb
+      else if (probeRows <= cfg.maxProbeBroadcast / 2) broadcast(nb)
+      else nb.hint("shuffle_hash")
+    probe
       .join(oldBands.select($"band", $"bh", $"id".as("id2")), Seq("band", "bh"))
       .select($"id1", $"id2")
       .distinct()
+  }
 
   /** Materialize the state's LSH band index: (band, bh, id) rows over
     * the state's signatures, hot buckets pre-degraded, hash-partitioned
@@ -534,11 +579,18 @@ object Dedup {
   def withBandIndex(state: ClusterState): ClusterState =
     if (state.bands.isDefined) state
     else {
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val ix = bandRowsGuarded(state.signatures, state.cfg)
         .repartition($"band", $"bh")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(lvl)
       ix.count() // one build job; probes read blocks
-      state.copy(bands = Some(ix))
+      // the unshingleable complement (see ClusterState.nullSigs):
+      // content hashes of docs the bands can't reach. Tiny by
+      // construction (short docs only), scanned once here.
+      val nulls = state.signatures.where($"sig".isNull)
+        .select($"th1", $"th2", $"id").persist(lvl)
+      nulls.count()
+      state.copy(bands = Some(ix), nullSigs = Some(nulls))
     }
 
   /** Cross verify for incremental merges: `candidates` id1 always
@@ -669,7 +721,7 @@ object Dedup {
     // batch-to-base merges with no error. Refuse instead.
     require(cfg.signatureCompatible(state.cfg),
       s"batch config cannot probe the base state's signatures: base=${state.cfg}, batch=$cfg")
-    val (exactEdges, newSigs, free) = collapseAndSign(newDocs, idCol, textCol, cfg)
+    val (exactEdges, newSigs, nNewSigs, free) = collapseAndSign(newDocs, idCol, textCol, cfg)
     val nn = verifyPairs(lshCandidates(newSigs, cfg), newSigs, cfg)
       .select($"id1".as("u"), $"id2".as("v"))
     // batch-vs-base: sided verify with a broadcast-semi-pruned base
@@ -683,7 +735,8 @@ object Dedup {
     // persists because it feeds both the probed-id broadcast and the
     // verify join; the eager count keeps AQE from materializing those
     // consumers as a stage herd.
-    val cross = state.bands.map(ix => crossCandidatesVia(newSigs, ix, cfg))
+    val cross = state.bands.map(ix =>
+        crossCandidatesVia(newSigs, ix, cfg, probeRows = nNewSigs * cfg.bands))
       .getOrElse(crossCandidates(newSigs, state.signatures, cfg))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cross.count()
@@ -691,12 +744,23 @@ object Dedup {
     // cross-boundary EXACT merges by content hash: a doc too short to
     // shingle has a NULL sig — bands can never surface its identical
     // twin on the base side, but a full recompute's exact collapse
-    // would merge them. The hash equi-join restores that equivalence
-    // (identical-content pairs with real sigs also land here — a
-    // harmless duplicate of their jaccard=1.0 verified pair).
-    val crossExact = newSigs.select($"th1", $"th2", $"id".as("id1"))
-      .join(state.signatures.select($"th1", $"th2", $"id".as("id2")), Seq("th1", "th2"))
-      .select($"id1", $"id2")
+    // would merge them. With the indexed state the join touches ONLY
+    // the persisted null-sig complement: identical real-sig docs have
+    // identical signatures, collide in every band, and verify at sim
+    // 1.0, so re-joining the whole base table by content hash would be
+    // redundant — UNLESS a hot-bucket guard may have pruned those
+    // collisions, in which case the full join is the recall backstop.
+    val nullOnlyExact = cfg.maxBandBucket == 0 && state.cfg.maxBandBucket == 0
+    val crossExact = state.nullSigs match {
+      case Some(nulls) if nullOnlyExact =>
+        newSigs.where($"sig".isNull).select($"th1", $"th2", $"id".as("id1"))
+          .join(nulls.select($"th1", $"th2", $"id".as("id2")), Seq("th1", "th2"))
+          .select($"id1", $"id2")
+      case _ =>
+        newSigs.select($"th1", $"th2", $"id".as("id1"))
+          .join(state.signatures.select($"th1", $"th2", $"id".as("id2")), Seq("th1", "th2"))
+          .select($"id1", $"id2")
+    }
     // an edge to an old document is an edge to its cluster root: CC
     // never touches base-corpus members, only roots
     val noEdges = no.select($"id1", $"id2").union(crossExact)
@@ -728,10 +792,15 @@ object Dedup {
     // merge; a warehouse would commit the appended index instead). The
     // base's index rides `retained` so releasing the successor chain
     // frees it.
-    ClusterState(oldFinal.unionByName(newFinal),
+    // lazy persist: the first consumer materializes the relabel once;
+    // anything after (sizing, canonical projection, the next merge's
+    // probe) reads blocks. Freed by release() like the base state's.
+    ClusterState(oldFinal.unionByName(newFinal)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       state.signatures.unionByName(newSigs),
       state.cfg.copy(exactVerify = state.cfg.exactVerify && cfg.exactVerify),
-      retained = (state.signatures +: (state.retained ++ state.bands.toSeq)) :+ newSigs)
+      retained = (state.signatures +:
+        (state.retained ++ state.bands.toSeq ++ state.nullSigs.toSeq)) :+ newSigs)
   }
 
   /** Materialize a state as the standard cluster table

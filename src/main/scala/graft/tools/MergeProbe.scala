@@ -1,4 +1,5 @@
 package graft.tools
+import scala.jdk.CollectionConverters._
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -26,15 +27,54 @@ object MergeProbe {
     val cfg = DedupConfig(candidateMode = "star")
     import spark.implicits._
 
-    val corpus = spark.read.parquet(path)
+    // optional 4th arg: union `mult-1` token-remapped copies onto the
+    // corpus (cross-copy jaccard ~0, replica structure preserved) so
+    // the base can be 2-4x the corpus without building a new parquet —
+    // the batch:base regime a crawl pipeline actually lives in
+    val mult = if (args.length > 3) args(3).toInt else 1
+    val raw = spark.read.parquet(path)
+    val corpus = (1 until mult).foldLeft(raw) { (acc, k) =>
+      acc.unionAll(raw.select(
+        (raw("doc_id") + k * 2560000000L).as("doc_id"),
+        array_join(transform(split(raw("text"), " "), t => concat(t, lit(s"x$k"))), " ")
+          .as("text")))
+    }
     val baseId = corpus("doc_id") % 10000000L
     val replicaIdx = pmod((corpus("doc_id") / 10000000L).cast("long"), lit(8))
     val baseDocs = corpus.where(replicaIdx =!= 7)
-    val batchDocs = corpus.where(replicaIdx === 7 && baseId % (denom / 8) === 0)
+    val batchDocs = raw.where(
+      pmod((raw("doc_id") / 10000000L).cast("long"), lit(8)) === 7 &&
+      raw("doc_id") % 10000000L % (denom / 8) === 0)
     val baseState = Dedup.withBandIndex(
       Dedup.clusterState(baseDocs, "doc_id", "text", cfg))
     baseState.assignments.count()
     println(s"[merge-probe] denom=$denom batch=${batchDocs.count()} docs")
+
+    // per-JOB wall + call site: each eager action inside addBatch
+    // (sigs.count, cross.count, newEdges.count, CC rounds, the final
+    // assignments count) surfaces as one or more jobs; the call site
+    // names the Dedup.scala line that triggered it
+    val jobs = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double, String)]
+    val jobStartTs = scala.collection.mutable.Map.empty[Int, (Long, String)]
+    @volatile var tj0 = 0L
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(e: SparkListenerJobStart): Unit = {
+        val p = Option(e.properties)
+        val site = p.flatMap(q => Option(q.getProperty("callSite.short")))
+          .orElse(p.flatMap(q => Option(q.getProperty("spark.job.description"))))
+          .orElse(p.flatMap(q => Option(q.getProperty("spark.sql.execution.root.id")).map("root=" + _)))
+          .getOrElse("?") + " rdd=" +
+          e.stageInfos.lastOption.map(_.name.take(60)).getOrElse("")
+        jobStartTs.synchronized { jobStartTs(e.jobId) = (e.time, site); () }
+      }
+      override def onJobEnd(e: SparkListenerJobEnd): Unit = {
+        jobStartTs.synchronized {
+          jobStartTs.remove(e.jobId).foreach { case (t, site) =>
+            jobs += ((e.jobId, (t - tj0) / 1e3, (e.time - t) / 1e3, site)); ()
+          }
+        }
+      }
+    })
 
     // EXECUTED stages only (SparkListenerStageCompleted never fires for
     // skipped/reused stages), with per-stage task-time and scope names
@@ -54,6 +94,7 @@ object MergeProbe {
     })
 
     t0 = System.currentTimeMillis()
+    tj0 = t0
     val wall0 = System.nanoTime()
     val ms = Dedup.addBatch(baseState, batchDocs, "doc_id", "text", cfg)
     val tCall = (System.nanoTime() - wall0) / 1e9
@@ -75,6 +116,9 @@ object MergeProbe {
     Thread.sleep(500)
     val ss = stages.sortBy(-_._3)
     println(f"[merge-probe] cores=$cores wall=$wall%.2f stages=${ss.size} stageSum=${ss.map(_._3).sum}%.2f")
+    jobs.sortBy(_._2).foreach { case (id, rel, d, site) =>
+      println(f"[merge-probe] job $id%3d start=$rel%7.2f dur=$d%6.2f  $site%s")
+    }
     ss.take(15).foreach { case (id, rel, d, name) =>
       println(f"[merge-probe]   stage $id%3d start=$rel%7.2f dur=$d%7.2f  $name%s")
     }

@@ -267,6 +267,24 @@ class WebDedupSpec extends AnyFunSuite {
     st1.release(); st4.release()
   }
 
+  test("incremental addBatch through the persisted band index == full recompute") {
+    val docs = pages.select(col("page_id"), col("text"))
+    val fullDf = Dedup.nearDupClusters(docs, "page_id", "text", cfg)
+      .select(col("page_id"), col("cluster_id"), col("cluster_size"))
+    val full = fullDf.as[(Long, Long, Long)].collect().toSet
+    Dedup.release(fullDf)
+    // same merge as above, but the base carries the committed band
+    // index + null-sig complement — the warehouse-amortized probe path
+    val st0 = Dedup.withBandIndex(
+      Dedup.clusterState(docs.where(col("page_id") % 2 === 0), "page_id", "text", cfg))
+    assert(st0.bands.isDefined && st0.nullSigs.isDefined)
+    assert(Dedup.withBandIndex(st0) eq st0, "withBandIndex must be idempotent")
+    val st1 = Dedup.addBatch(st0, docs.where(col("page_id") % 2 =!= 0), "page_id", "text", cfg)
+    val inc = Dedup.stateClusters(st1).as[(Long, Long, Long)].collect().toSet
+    assert(inc == full, "indexed-probe incremental must equal full recompute")
+    st1.release()
+  }
+
   test("incremental: a batch document bridges two base clusters into one") {
     import spark.implicits._
     val a = (1 to 30).map(i => s"alpha$i").mkString(" ")
@@ -378,6 +396,16 @@ class WebDedupSpec extends AnyFunSuite {
     assert(inc == full, "batch empty doc must join the base empties' cluster")
     assert(inc.exists { case (id, c, n) => id == 11L && c == 1L && n == 3 })
     st1.release()
+
+    // indexed base: bands can't reach the empties, so the merge must go
+    // through the persisted null-sig complement instead of the full
+    // content-hash join
+    val stIx = Dedup.withBandIndex(
+      Dedup.clusterState(docs.where(col("id") < 10), "id", "text", cfg))
+    val stIx1 = Dedup.addBatch(stIx, docs.where(col("id") > 10), "id", "text", cfg)
+    val incIx = Dedup.stateClusters(stIx1).as[(Long, Long, Long)].collect().toSet
+    assert(incIx == full, "null-sig complement must merge cross-boundary empties")
+    stIx1.release()
 
     // staged twin through the warehouse
     val base = docs.where(col("id") < 10).withColumnRenamed("id", "page_id")
