@@ -209,16 +209,19 @@ object Bench {
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // 32 groups = 1.28M docs at sf0.1 for the absolute-throughput
-    // headline + incremental merge. The SCALING pair runs on a half
-    // corpus (640k): the serial tail is small enough there after the
-    // AQE-herd fix (docs/ARCHITECTURE.md decision 12), and the cheaper
-    // levels buy THREE interleave rounds — what makes min-per-level
-    // robust on this host (measured same-job pristine-JVM spread up to
-    // 25% across invocations of the identical level).
+    // headline + incremental merge. The SCALING pair runs on the SAME
+    // full corpus (round 4; rounds 2-3 used a half corpus to afford a
+    // third interleave round): the serial tail S is roughly corpus-
+    // independent (CC round latency + plan/codegen + job barriers,
+    // ~12-15 s), so doubling the parallel work W moves the structural
+    // efficiency (W+S)/(W+4S) from ~0.79 to ~0.87 — measuring at the
+    // larger size is both more representative of the 100 TB regime the
+    // criterion models and less noise-exposed per second of wall.
     val groups = sys.env.getOrElse("SPARK_GRAFT_BENCH_GROUPS", "32").toInt
     val reps = 8
     val corpusPath = "/tmp/graft_bench_corpus"
-    val scalingGroups = math.max(groups / 2, 1)
+    val scalingGroups =
+      sys.env.get("SPARK_GRAFT_SCALING_GROUPS").map(_.toInt).getOrElse(groups)
     val scalingPath = "/tmp/graft_bench_corpus_scaling"
 
     // corpus prep + JIT warm-up (untimed; same JVM keeps the JIT state)
@@ -297,11 +300,12 @@ object Bench {
     // INTERLEAVED (lo, hi, lo, hi) with min per level: host noise is
     // bursty on multi-minute windows, so two back-to-back runs of one
     // level share the same burst.
-    // three interleave rounds at the half corpus (min-per-level needs a
+    // two interleave rounds at the full corpus (min-per-level needs a
     // quiet window PER LEVEL, and this host's identical-run spread is
-    // 10-20% on multi-minute windows); one round when an env override
-    // makes the scaling corpus itself >= 1M docs
-    val scalingRounds = if (nScalingDocs >= 1000000) 1 else 3
+    // 10-20% on multi-minute windows; a third round at this corpus
+    // size buys little extra robustness for ~12 extra minutes); three
+    // when an env override shrinks the scaling corpus below 1M docs
+    val scalingRounds = if (nScalingDocs >= 1000000) 2 else 3
     val runs = for (_ <- 1 to scalingRounds) yield
       (levelInSubJvm(CoresLo, scalingCorpus), levelInSubJvm(CoresHi, scalingCorpus))
     val tLo = runs.map(_._1).min
@@ -331,7 +335,7 @@ object Bench {
     // clustered 7/8 of the corpus (untimed — it is the committed state
     // a pipeline already has); timed = addBatch of a batch that is
     // entirely near-dups of base clusters (worst-case touched-cluster
-    // fan-in), at three batch:base ratios — the crossover series the
+    // fan-in), at four batch:base ratios — the crossover series the
     // incremental claim rests on (merge cost is O(batch + touched
     // clusters) plus a corpus-linear relabel join, so the advantage
     // over full recompute must WIDEN as the batch shrinks).
@@ -364,9 +368,12 @@ object Bench {
       mergedStates ::= ms
       t
     }
-    // nested batches inside the held-out replica slice: 1/8, 1/32,
-    // 1/128 of the corpus (sub-sampled by base doc id, deterministic)
-    val mergeRatios = Seq(8, 32, 128).map { denom =>
+    // nested batches inside the held-out replica slice: 1/8 .. 1/512
+    // of the corpus (sub-sampled by base doc id, deterministic). The
+    // small end approaches the merge's fixed floor — one scan of the
+    // committed band index + one of the base signature cache — whose
+    // ratio to the full recompute is the incremental claim.
+    val mergeRatios = Seq(8, 32, 128, 512).map { denom =>
       val batch = corpus.where(replicaIdx === (reps - 1) && baseId % (denom / 8) === 0)
       val nB = batch.count()
       val t = math.min(mergeOnce(batch), mergeOnce(batch))
@@ -419,7 +426,7 @@ object Bench {
          |Incremental merge (the per-crawl-snapshot operation): addBatch
          |of a batch that is entirely near-dups of base clusters
          |(worst-case touched-cluster fan-in) onto the clustered
-         |$nBase%d-doc base, at three batch:base ratios. "recompute" is
+         |$nBase%d-doc base, at four batch:base ratios. "recompute" is
          |what a non-incremental engine pays for the same snapshot: the
          |headline wall scaled to base+batch docs (throughput is linear
          |in corpus size at these scales — ScaleProbe series,

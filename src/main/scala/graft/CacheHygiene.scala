@@ -55,6 +55,19 @@ object CacheHygiene {
     marked
   }
 
+  /** Run `f` with a Spark job description, so every job it submits
+    * (including AQE stage-materialization jobs, which inherit the
+    * submitting thread's properties) is attributed to a named engine
+    * stage in the UI / listeners instead of an anonymous call site.
+    * Restores the previous description on exit.
+    */
+  def described[A](spark: org.apache.spark.sql.SparkSession, desc: String)(f: => A): A = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(desc)
+    try f finally sc.setJobDescription(prev)
+  }
+
   /** Unpersist every checkpointed/persisted RDD backing `df`'s plan
     * (the LogicalRDD leaves a localCheckpoint leaves behind). After
     * this the frame must not be acted on again — its lineage was

@@ -76,9 +76,10 @@ object ConnectedComponents {
     // adj co-located and shuffles only the (far smaller) label side —
     // one up-front exchange instead of one full-adjacency exchange per
     // round, which is what dominates at web scale.
-    val adj = canon.union(canon.select($"v".as("u"), $"u".as("v")))
-      .repartition($"u")
-      .localCheckpoint(true)
+    val adj = graft.CacheHygiene.described(edges.sparkSession, "graft: CC adjacency checkpoint")(
+      canon.union(canon.select($"v".as("u"), $"u".as("v")))
+        .repartition($"u")
+        .localCheckpoint(true))
 
     // label(x) = min(x, min neighbor) — every non-isolated node appears
     // as u in adj, so this covers all nodes. Lazy: it reads only the
@@ -147,8 +148,9 @@ object ConnectedComponents {
         // fixpoint was reached — detection is exact at the first check
         // after stabilization (the old checksum-equality test needed a
         // full confirm WINDOW: up to checkEvery extra rounds of work)
-        val changed = jumped.agg(
-          coalesce(sum(when($"lbl" =!= $"prev", 1L).otherwise(0L)), lit(0L))).head().getLong(0)
+        val changed = graft.CacheHygiene.described(edges.sparkSession, s"graft: CC round $round")(
+          jumped.agg(
+            coalesce(sum(when($"lbl" =!= $"prev", 1L).otherwise(0L)), lit(0L))).head().getLong(0))
         // all pending generations are now dead — free them, or up to
         // maxRounds generations of RDD blocks pile up in the block manager
         pendingFree.foreach { case (df, isCp) =>

@@ -172,14 +172,31 @@ object Dedup {
     */
   def ensureParallel(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    // df.rdd here only BUILDS the RDD graph for the (trivial: callers
-    // pass the raw input) plan — no job runs, and it is the one exact
-    // source of the scan's split count. File-count shortcuts are wrong
-    // in both directions: Spark packs many small files into few splits
-    // (maxPartitionBytes bin-packing) and splits one big file into
-    // many. Driver-side planning cost is milliseconds; the guard's
-    // repartition decision governs whole-stage parallelism.
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // The probe builds the NON-ADAPTIVE physical plan's RDD graph and
+    // reads its partition count — for a file-rooted narrow plan that is
+    // the exact split count, with no job and ~0.1 s of driver time
+    // (file-count shortcuts are wrong in both directions: Spark packs
+    // many small files into few splits and splits one big file into
+    // many). `df.rdd` answers through the ADAPTIVE plan, whose final-
+    // plan resolution + codegen costs ~2 s of driver time per call on
+    // Spark 4.1 (measured, RddProbe) — pure serial tail.
+    //
+    // For a frame over not-yet-materialized persisted intermediates
+    // (the reps path in collapseAndSign), building this RDD graph
+    // materializes those caches EARLY — through the caches' own
+    // prepared plans (CacheManager's executedPlan, exchanges intact),
+    // so the work is correct and not duplicated: the downstream count
+    // then reads blocks (measured, RddProbe: probe 8 s + count 3 s vs
+    // the same 11 s in one count). The count it reports is the cache's
+    // fixed shuffle partitioning — NOT a post-AQE coalesce — which is
+    // precisely the parallelism contract the expensive per-row
+    // projections above it need (an AQE-coalesced 1-2-partition cache
+    // would starve them; measured 50 s vs 15 s on the signature job).
+    // `sparkPlan` skips exchange-insertion prep, so a plan it cannot
+    // execute falls back to repartitioning (callers are pre-shuffle
+    // roots, where an extra round-robin exchange is at worst redundant).
+    val parts = scala.util.Try(df.queryExecution.sparkPlan.execute().getNumPartitions)
+    if (parts.getOrElse(0) < target) df.repartition(target) else df
   }
 
   // ------------------------------------------------------------ exact
@@ -449,7 +466,8 @@ object Dedup {
     // herd then reads blocks. norm and grouped fill as its inputs.
     val sigs = signatures(reps, "id", "text", cfg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nSigs = sigs.count()
+    val nSigs = graft.CacheHygiene.described(sigs.sparkSession,
+      "graft: exact collapse + signatures")(sigs.count())
     (exactEdges, sigs, nSigs, () => {
       norm.unpersist(blocking = false)
       grouped.unpersist(blocking = false)
@@ -474,11 +492,20 @@ object Dedup {
     // (measured 2.4x wall at 4 cores); one count() runs the chain
     // exactly once — the in-session analogue of WebDedup's committed
     // `pairs` stage.
+    // the exact star edges ride the SAME persist: CC must receive the
+    // exact persisted Dataset, not a union over it — a composite
+    // union(exactEdges, cachedEdges) plan can fail cache substitution
+    // (the sides share the norm/grouped subtrees, and the analyzer's
+    // relation dedup rewrites one side), making the adjacency
+    // checkpoint silently re-run the whole verify chain per union
+    // branch (measured on addBatch: ~5 s of a 19 s merge).
     val nearEdges = verifyPairs(lshCandidates(sigs, cfg), sigs, cfg)
       .select($"id1".as("u"), $"id2".as("v"))
+      .union(exactEdges)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    nearEdges.count()
-    val labels = ConnectedComponents.run(exactEdges.union(nearEdges))
+    graft.CacheHygiene.described(nearEdges.sparkSession,
+      "graft: LSH candidates + verify")(nearEdges.count())
+    val labels = ConnectedComponents.run(nearEdges)
     // run() materialized the labels (checkpointed), fully consuming the
     // edge pipeline — the collapse persists and the pair table are
     // dead; the signature table stays persisted because it IS the
@@ -496,7 +523,8 @@ object Dedup {
       .join(labels, Seq("id"), "left")
       .select($"id", coalesce($"cluster_id", $"id").as("cluster_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    assignments.count()
+    graft.CacheHygiene.described(assignments.sparkSession,
+      "graft: assignment table")(assignments.count())
     ClusterState(assignments, sigs, cfg)
   }
 
@@ -583,7 +611,8 @@ object Dedup {
       val ix = bandRowsGuarded(state.signatures, state.cfg)
         .repartition($"band", $"bh")
         .persist(lvl)
-      ix.count() // one build job; probes read blocks
+      graft.CacheHygiene.described(ix.sparkSession,
+        "graft: band index build")(ix.count()) // one build job; probes read blocks
       // the unshingleable complement (see ClusterState.nullSigs):
       // content hashes of docs the bands can't reach. Tiny by
       // construction (short docs only), scanned once here.
@@ -739,7 +768,8 @@ object Dedup {
         crossCandidatesVia(newSigs, ix, cfg, probeRows = nNewSigs * cfg.bands))
       .getOrElse(crossCandidates(newSigs, state.signatures, cfg))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cross.count()
+    graft.CacheHygiene.described(cross.sparkSession,
+      "graft: cross candidates (batch -> base)")(cross.count())
     val no = verifyPairsCross(cross, newSigs, state.signatures, cfg)
     // cross-boundary EXACT merges by content hash: a doc too short to
     // shingle has a NULL sig — bands can never surface its identical
@@ -767,11 +797,18 @@ object Dedup {
       .join(state.assignments.withColumnRenamed("id", "id2"), Seq("id2"))
       .select($"id1".as("u"), $"cluster_id".as("v"))
     // eager pair materialization before CC — same rationale as in
-    // clusterState (CC references the edge pipeline from four branches)
-    val newEdges = nn.union(noEdges)
+    // clusterState (CC references the edge pipeline from four
+    // branches). The batch's exact star edges ride the same persist:
+    // CC must receive the exact persisted Dataset — feeding it
+    // union(exactEdges, newEdges) instead made the adjacency
+    // checkpoint MISS the cache and re-run the cross-verify chain per
+    // union branch (measured: ~5 s of a 19 s merge at 1:128, a dozen
+    // recomputed signature/semi-prune stages in the probe trace).
+    val newEdges = nn.union(noEdges).union(exactEdges)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    newEdges.count()
-    val cc = ConnectedComponents.run(exactEdges.union(newEdges))
+    graft.CacheHygiene.described(newEdges.sparkSession,
+      "graft: cross verify + root edges")(newEdges.count())
+    val cc = ConnectedComponents.run(newEdges)
     newEdges.unpersist(blocking = false)
     cross.unpersist(blocking = false)
     free()
@@ -795,8 +832,9 @@ object Dedup {
     // lazy persist: the first consumer materializes the relabel once;
     // anything after (sizing, canonical projection, the next merge's
     // probe) reads blocks. Freed by release() like the base state's.
-    ClusterState(oldFinal.unionByName(newFinal)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+    val mergedAssign = oldFinal.unionByName(newFinal)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ClusterState(mergedAssign,
       state.signatures.unionByName(newSigs),
       state.cfg.copy(exactVerify = state.cfg.exactVerify && cfg.exactVerify),
       retained = (state.signatures +:

@@ -60,11 +60,12 @@ object MergeProbe {
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
         val p = Option(e.properties)
-        val site = p.flatMap(q => Option(q.getProperty("callSite.short")))
-          .orElse(p.flatMap(q => Option(q.getProperty("spark.job.description"))))
+        val site = p.flatMap(q => Option(q.getProperty("spark.job.description")))
+          .orElse(p.flatMap(q => Option(q.getProperty("callSite.short"))))
           .orElse(p.flatMap(q => Option(q.getProperty("spark.sql.execution.root.id")).map("root=" + _)))
-          .getOrElse("?") + " rdd=" +
-          e.stageInfos.lastOption.map(_.name.take(60)).getOrElse("")
+          .getOrElse("?") +
+          p.flatMap(q => Option(q.getProperty("spark.sql.execution.root.id")).map(" root=" + _)).getOrElse("") +
+          " rdd=" + e.stageInfos.lastOption.map(_.name.take(60)).getOrElse("")
         jobStartTs.synchronized { jobStartTs(e.jobId) = (e.time, site); () }
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = {
@@ -121,6 +122,10 @@ object MergeProbe {
     }
     ss.take(15).foreach { case (id, rel, d, name) =>
       println(f"[merge-probe]   stage $id%3d start=$rel%7.2f dur=$d%7.2f  $name%s")
+    }
+    // full chronology (>=0.2 s) — attributes each job window's stages
+    stages.sortBy(_._2).filter(_._3 >= 0.2).foreach { case (id, rel, d, name) =>
+      println(f"[merge-probe]   chrono stage $id%3d start=$rel%7.2f dur=$d%7.2f  $name%s")
     }
     ms.release(); baseState.release()
     spark.stop()
