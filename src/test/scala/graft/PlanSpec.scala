@@ -127,4 +127,34 @@ class PlanSpec extends AnyFunSuite {
     val got = mapping.orderBy(col("cluster_id")).collect().map(_.getLong(1)).toSeq
     assert(got == got.indices.map(_.toLong))
   }
+
+  test("ensureParallel probes the split count without running a job") {
+    import java.util.concurrent.atomic.AtomicInteger
+    val jobs = new AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // file-rooted narrow plan: the probe must read the scan's split
+      // count from the non-adaptive plan — zero jobs (df.rdd under AQE
+      // resolves the adaptive final plan: ~2 s of driver work per call
+      // and, for some plans, stage-materialization jobs)
+      val narrow = docs.select(col("doc_id"), length(col("text")).as("n"))
+      val before = jobs.get
+      val probed = Dedup.ensureParallel(narrow)
+      Thread.sleep(300) // listener events are async; drain before asserting
+      assert(jobs.get == before,
+        s"split-count probe must not run Spark jobs (ran ${jobs.get - before})")
+      // sf0.001 documents is one small file -> below defaultParallelism
+      // -> the guard must widen it to a full task wave
+      assert(probed.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism)
+      // an input already at/above target passes through un-repartitioned
+      val wide = docs.repartition(spark.sparkContext.defaultParallelism * 2)
+      assert(Dedup.ensureParallel(wide) eq wide,
+        "ensureParallel must be identity when the input is already parallel")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
