@@ -189,6 +189,19 @@ object SparkEntry {
         .select($"page_id".cast("long").as("page_id"), $"cluster_id", $"cluster_size")
     },
 
+    "dedup_lines" -> { (s, dir) =>
+      // corpus-level line dedup (the C4/CCNet boilerplate pass): every
+      // doc gets a shared NAV line and a footer shared by its mod-7
+      // class; body lines are the corpus texts (near-dups, never exact)
+      // — the NAV survives only in the lowest doc, each FOOTER k only
+      // in its class's lowest doc, bodies everywhere
+      val d = t(s, dir, "documents")
+      val multi = d.select($"doc_id",
+        concat(lit("NAV BOILERPLATE\n"), $"text",
+          lit("\nFOOTER "), ($"doc_id" % 7).cast("string")).as("text"))
+      graft.dedup.LineDedup.dedupLines(multi, "doc_id", "text")
+    },
+
     "dedup_simhash" -> { (s, dir) =>
       // reversed-token copies: same token multiset => identical SimHash
       // (hamming 0) while the text differs; corpus near-dup members are
@@ -291,6 +304,19 @@ object SparkEntry {
     "text_langid" -> { (s, dir) =>
       t(s, dir, "documents")
         .select($"doc_id", TextAnalysis.langId($"text").as("lang_pred"))
+    },
+
+    "text_repetition" -> { (s, dir) =>
+      // within-document repetition signals (Gopher quality rules):
+      // dup-line fraction over a constructed 3-line doc (body twice +
+      // unique footer -> exactly 1/3), dup-bigram fraction over the
+      // real corpus text
+      val d = t(s, dir, "documents")
+      val tripled = concat($"text", lit("\n"), $"text",
+        lit("\nunique footer "), $"doc_id".cast("string"))
+      d.select($"doc_id",
+        round(TextAnalysis.dupLineFraction(tripled), 6).as("dup_line_frac"),
+        round(TextAnalysis.dupNgramFraction($"text", 2), 6).as("dup_bigram_frac"))
     },
 
     // ---------------------------------------------------------- matching
@@ -437,6 +463,20 @@ object SparkEntry {
         lit("?z=9&utm_source=feed&a="), ($"doc_id" % 5).cast("string"),
         lit("&fbclid=XYZ#Section-2"))
       d.select($"doc_id", raw.as("url_raw"), Normalizers.normalizeUrl(raw).as("url_norm"))
+    },
+
+    "norm_redact" -> { (s, dir) =>
+      // PII redaction over planted entities (the corpus text has none):
+      // an email, an IPv4 and a phone, all derived from doc_id so both
+      // engines construct the identical input
+      val d = t(s, dir, "documents")
+      val planted = concat($"text",
+        lit(" contact user"), $"doc_id".cast("string"), lit("@example.com"),
+        lit(" from 10."), ($"doc_id" % 256).cast("string"),
+        lit(".0."), ($"doc_id" % 100).cast("string"),
+        lit(" call +1 (555) 0"), lpad(($"doc_id" % 1000).cast("string"), 3, "0"),
+        lit("-"), lpad(($"doc_id" % 10000).cast("string"), 4, "0"))
+      d.select($"doc_id", graft.norm.Redact.redactPii(planted).as("text_redacted"))
     },
 
     // -------------------------------------------------------- multimodal
@@ -789,6 +829,46 @@ object SparkEntry {
          |       WHEN c_es = greatest(c_en, c_de, c_fr, c_es, c_zh) THEN 'es'
          |       ELSE 'zh' END AS lang_pred
          |FROM c""".stripMargin,
+
+    "text_repetition" ->
+      s"""WITH $toksCte,
+         |s AS (SELECT doc_id, text || chr(10) || text || chr(10) || 'unique footer ' || doc_id AS tripled
+         |      FROM documents),
+         |ln AS (SELECT doc_id, list_filter(string_split(tripled, chr(10)), l -> trim(l) <> '') AS lines FROM s)
+         |SELECT ln.doc_id,
+         |  round(CASE WHEN len(lines) = 0 THEN 0.0
+         |        ELSE 1.0 - len(list_distinct(lines))*1.0/len(lines) END, 6) AS dup_line_frac,
+         |  round(CASE WHEN len(ts) < 2 THEN 0.0
+         |        ELSE 1.0 - len(list_distinct(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])))*1.0/(len(ts)-1) END, 6) AS dup_bigram_frac
+         |FROM ln JOIN t ON t.id = ln.doc_id""".stripMargin,
+
+    "dedup_lines" ->
+      """WITH src AS (
+        |  SELECT doc_id, concat('NAV BOILERPLATE', chr(10), text, chr(10), 'FOOTER ', doc_id % 7) AS text
+        |  FROM documents),
+        |ls AS (SELECT doc_id AS id, string_split(text, chr(10)) AS arr FROM src),
+        |l AS (SELECT id, i - 1 AS pos, arr[i] AS line
+        |      FROM ls, LATERAL unnest(range(1, len(arr) + 1)) AS r(i)),
+        |d AS (SELECT line, min(struct_pack(id := id, pos := pos)) AS first
+        |      FROM l WHERE trim(line) <> '' GROUP BY 1 HAVING count(*) > 1),
+        |k AS (SELECT l.id, l.pos, l.line
+        |      FROM l LEFT JOIN d USING (line)
+        |      WHERE trim(l.line) = '' OR d.line IS NULL OR (l.id = d.first.id AND l.pos = d.first.pos))
+        |SELECT s.doc_id, coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS text
+        |FROM src s LEFT JOIN k ON k.id = s.doc_id
+        |GROUP BY 1""".stripMargin,
+
+    "norm_redact" ->
+      s"""SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(
+         |    text || ' contact user' || doc_id || '@example.com from 10.' || (doc_id % 256)
+         |      || '.0.' || (doc_id % 100) || ' call +1 (555) 0'
+         |      || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+         |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+         |    '${graft.norm.Redact.EmailRe}', '<EMAIL>', 'g'),
+         |    '${graft.norm.Redact.Ipv4Re}', '<IP>', 'g'),
+         |    '${graft.norm.Redact.PhoneRe}', '<PHONE>', 'g') AS text_redacted
+         |FROM documents""".stripMargin,
 
     "match_best" ->
       s"""WITH $matchScores,

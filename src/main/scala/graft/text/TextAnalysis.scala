@@ -106,4 +106,38 @@ object TextAnalysis {
     val punctPenalty = lit(1.0) - least(punctRatio(text) * 4.0, lit(1.0))
     lenBand * 0.4 + diversity * 0.3 + punctPenalty * 0.3
   }
+
+  // ---------------------------------------------------- repetition
+  // Within-document repetition signals (the Gopher quality rules §A1.1:
+  // duplicate-line fraction, duplicate-n-gram fraction — pages failing
+  // them are lists, tag clouds, and templated boilerplate). Pure Column
+  // algebra over split arrays — codegen'd, no UDF, and arithmetic the
+  // DuckDB oracle recomputes exactly (`text_repetition`).
+
+  /** Fraction of non-blank lines that are repeats of an earlier line
+    * in the SAME document: 1 - distinct/total (0 for no lines). Lines
+    * are exact `\n` segments, blank-after-trim excluded — the same
+    * line contract as [[graft.dedup.LineDedup]].
+    */
+  def dupLineFraction(text: Column): Column = {
+    val lines = filter(split(text, "\n", -1), l => trim(l) =!= "")
+    when(size(lines) === 0, 0.0)
+      .otherwise(lit(1.0) -
+        size(array_distinct(lines)).cast("double") / size(lines).cast("double"))
+  }
+
+  /** Fraction of word n-gram occurrences that are repeats within the
+    * document: 1 - distinct/total over whitespace-token n-grams of the
+    * normalized text (0 when fewer than n tokens). n = 2 catches stuck
+    * phrase loops; Gopher uses up to n = 4 with the same shape.
+    */
+  def dupNgramFraction(text: Column, n: Int): Column = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val toks = ws_tokens(Normalizers.normalizeString(text))
+    val grams = transform(sequence(lit(0), size(toks) - n),
+      i => array_join(slice(toks, i + 1, lit(n)), " "))
+    when(size(toks) < n, 0.0)
+      .otherwise(lit(1.0) -
+        size(array_distinct(grams)).cast("double") / size(grams).cast("double"))
+  }
 }
