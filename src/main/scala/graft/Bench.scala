@@ -207,6 +207,16 @@ object Bench {
       runLevel(args(1).toInt, args(2))
       return
     }
+    // standalone corpus build (the exact generator the protocol uses),
+    // for running `level` children outside a full bench session:
+    //   runMain graft.Bench buildcorpus <sfDir> <groups> <path>
+    if (args.length == 4 && args(0) == "buildcorpus") {
+      val s = session(CoresMax)
+      val n = buildCorpus(s, args(1), args(2).toInt, 8, args(3))
+      println(s"BENCHCORPUS $n ${args(3)}")
+      s.stop()
+      return
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // 32 groups = 1.28M docs at sf0.1 for the absolute-throughput
     // headline + incremental merge. The SCALING pair runs on the SAME
