@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft._
 
@@ -29,15 +29,16 @@ import graft._
   *    document whose every line was removed keeps its row with an
   *    empty text.
   *
-  * Scale shape: one explode, one count+min aggregation on a 128-bit
-  * line hash (both map-side combinable — a boilerplate line occurring
-  * a billion times reduces through partial aggregates, never
-  * materializing as a group), one hash join back (the stats side is
-  * one row per DUPLICATED line; a hot line skews exactly one join key,
-  * which AQE skew-split handles — same shape as the exact-collapse
-  * rejoin), and one per-document reassembly groupBy (collect_list is
-  * bounded by a single document's line count, never by a cluster or
-  * corpus dimension). Nothing touches the driver.
+  * Scale shape: the corpus text never rides a wide shuffle. The
+  * exploded lines are projected to (id, pos, 128-bit hash) — 32
+  * bytes/line — before any exchange; the count+min aggregation and
+  * the dup join move only those rows (both map-side combinable; a hot
+  * boilerplate line skews exactly one join key, which AQE skew-split
+  * handles); the result is a per-document DROP-POSITION list (one row
+  * per document that loses a line), and the text is rebuilt in place
+  * by a positional filter expression after one id join against that
+  * list — a broadcast join whenever the boilerplate set is small, the
+  * common case. Nothing touches the driver.
   */
 object LineDedup {
 
@@ -51,37 +52,49 @@ object LineDedup {
   def dedupLines(df: DataFrame, idCol: String, textCol: String,
       maxDf: Long = 1L, dropBlank: Boolean = false): DataFrame = {
     require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
-    val lines = Dedup.ensureParallel(
-        df.select(col(idCol).cast("long").as("_id"), col(textCol).as("_t")))
-      // -1 limit: trailing empty segments are positions too — dropping
-      // them would shift reassembly for texts ending in '\n'
+    val docs = df.select(col(idCol).cast("long").as("_id"), col(textCol).as("_t"))
+    // The corpus TEXT never rides a wide shuffle: the exploded side is
+    // projected down to (_id, _pos, 128-bit line hash) — 32 bytes/line
+    // regardless of line length — before anything exchanges, and the
+    // reassembly is a per-row Column expression over the original
+    // document, not a re-group of exploded lines (the previous shape
+    // shipped every line's text through the dup join AND a
+    // collect_list groupBy — 2 full-corpus text shuffles; this shape
+    // ships text through at most the final id join, which AQE turns
+    // into a broadcast whenever the drop-list table is small — the
+    // common case: boilerplate vocabulary ≪ corpus).
+    // -1 split limit: trailing empty segments are positions too —
+    // dropping them would shift reassembly for texts ending in '\n'.
+    val lines = Dedup.ensureParallel(docs)
       .select($"_id", posexplode(split($"_t", "\n", -1)).as(Seq("_pos", "_line")))
-      // 128-bit line identity: the corpus-wide aggregation and the
-      // rejoin ship 16-byte keys, never line text (a 1 KB boilerplate
-      // line occurring 1e9 times would otherwise ride every shuffle)
-      .withColumn("_h1", xxhash64($"_line"))
-      .withColumn("_h2", xxhash64($"_line", lit(1)))
-    val blank = trim($"_line") === ""
+      .where(trim($"_line") =!= "") // blanks never participate in dedup
+      .select($"_id", $"_pos",
+        xxhash64($"_line").as("_h1"), xxhash64($"_line", lit(1)).as("_h2"))
     // count + first occurrence in ONE aggregation (partial: count sums,
-    // min combines); only duplicated non-blank lines survive the filter,
-    // so the join side is as small as the boilerplate vocabulary
-    val dups = lines.where(!blank)
+    // min combines — a boilerplate line occurring 1e9 times reduces
+    // through combine chains, never materializing as a group); only
+    // duplicated lines survive, so the join side is as small as the
+    // boilerplate vocabulary
+    val dups = lines
       .groupBy($"_h1", $"_h2")
       .agg(count(lit(1)).as("_df"), min(struct($"_id", $"_pos")).as("_first"))
       .where($"_df" > maxDf)
-    val dupOk = $"_df".isNull ||
-      ($"_id" === $"_first._id" && $"_pos" === $"_first._pos")
-    val keep = lines
-      .join(dups, Seq("_h1", "_h2"), "left")
-      .where(if (dropBlank) !blank && dupOk else blank || dupOk)
-    val rebuilt = keep.groupBy($"_id")
-      .agg(array_join(transform(array_sort(collect_list(struct($"_pos", $"_line"))),
-        s => s("_line")), "\n").as("_out"))
-    // left join from the id table: a document whose every line was
-    // removed keeps its row (empty text) instead of vanishing
-    df.select(col(idCol).cast("long").as("_id"))
-      .join(rebuilt, Seq("_id"), "left")
-      .select($"_id".as(idCol), coalesce($"_out", lit("")).as(textCol))
+      .select($"_h1", $"_h2", $"_first")
+    // positions to remove, per document — one row per doc that LOSES a
+    // line (a hot boilerplate line skews the (_h1,_h2) join key; the
+    // dups side is one row per key, which AQE skew-split handles)
+    val drops = lines.join(dups, Seq("_h1", "_h2"))
+      .where($"_id" =!= $"_first._id" || $"_pos" =!= $"_first._pos")
+      .groupBy($"_id").agg(collect_set($"_pos").as("_drop"))
+    // rebuild in place: re-split the original text and keep by position
+    // (the lambda filter's index argument), blanks exempt or dropped
+    val dropSet = coalesce($"_drop", array().cast("array<int>"))
+    val keepLine = (l: Column, i: Column) =>
+      if (dropBlank) trim(l) =!= "" && !array_contains(dropSet, i)
+      else trim(l) === "" || !array_contains(dropSet, i)
+    docs.join(drops, Seq("_id"), "left")
+      .select($"_id".as(idCol),
+        array_join(filter(split($"_t", "\n", -1), keepLine), "\n").as(textCol))
   }
 
   /** Per-line corpus stats — the report a pipeline inspects to pick

@@ -128,6 +128,26 @@ class PlanSpec extends AnyFunSuite {
     assert(got == got.indices.map(_.toLong))
   }
 
+  test("line dedup never ships text through a wide shuffle") {
+    // dedupLines' wide exchanges (the line-hash aggregation and dup
+    // join) must carry only (id, pos, hash) — 32 bytes/line; the text
+    // crosses at most the final per-document id join. A string column
+    // inside a RepartitionOperation/Aggregate-feeding exchange means
+    // the corpus rides the shuffle as line bytes — the scale killer
+    // this operator's shape exists to avoid.
+    val dd = graft.dedup.LineDedup.dedupLines(docs, "doc_id", "text")
+    val p = dd.queryExecution.optimizedPlan
+    val aggInputs = p.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        a.groupingExpressions.map(_.dataType) ++
+          a.child.output.map(_.dataType)
+    }.flatten
+    assert(!aggInputs.contains(org.apache.spark.sql.types.StringType),
+      "the line-hash aggregations must not consume any string column")
+    assert(!p.toString.contains("collect_list"),
+      "reassembly must be a positional filter expression, not a collect_list re-group")
+  }
+
   test("ensureParallel probes the split count without running a job") {
     import java.util.concurrent.atomic.AtomicInteger
     val jobs = new AtomicInteger(0)
