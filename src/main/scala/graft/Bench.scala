@@ -264,8 +264,8 @@ object Bench {
     // slower than the builder's committed numbers.
     spark = session(CoresMax)
     warm(spark)
-    val headline = Seq("dedup_minhash_clusters", "dedup_exact", "dedup_ngram_jaccard",
-      "ann_topk", "text_stats", "q_lineitem_agg", "q_orders_best")
+    val headline = Seq("dedup_minhash_clusters", "dedup_exact", "dedup_lines",
+      "dedup_ngram_jaccard", "ann_topk", "text_stats", "q_lineitem_agg", "q_orders_best")
     val perQuery = headline.map { name =>
       val fn = SparkEntry.queries(name)
       name -> math.min(time(fn(spark, sfDir).count()), time(fn(spark, sfDir).count()))
