@@ -189,6 +189,24 @@ object SparkEntry {
         .select($"page_id".cast("long").as("page_id"), $"cluster_id", $"cluster_size")
     },
 
+    "web_domain_report" -> { (s, dir) =>
+      // per-domain dup-rate report: each doc contributes a canonical
+      // and a messy variant of the same URL (normalize-identical, so
+      // they share a cluster); hosts partition by doc_id % 7 -> every
+      // domain has dup_fraction exactly 0.5 and a closed-form page
+      // count + mean text length
+      val d = t(s, dir, "documents")
+      val canon = concat(lit("http://site"), ($"doc_id" % 7).cast("string"),
+        lit(".com/p/"), $"doc_id".cast("string"))
+      val messy = concat(lit("HTTP://WWW.Site"), ($"doc_id" % 7).cast("string"),
+        lit(".COM:80/p/"), $"doc_id".cast("string"), lit("/?utm_campaign=x#top"))
+      val pages = d.select(($"doc_id" * 2).as("page_id"), canon.as("url"), $"text")
+        .unionAll(d.select(($"doc_id" * 2 + 1).as("page_id"), messy.as("url"), $"text"))
+      val clustered = Dedup.exactClusters(
+        pages.withColumn("_u", Normalizers.normalizeUrl($"url")), "page_id", "_u")
+      graft.web.DomainStats.report(clustered)
+    },
+
     "dedup_lines" -> { (s, dir) =>
       // corpus-level line dedup (the C4/CCNet boilerplate pass): every
       // doc gets a shared NAV line and a footer shared by its mod-7
@@ -841,6 +859,15 @@ object SparkEntry {
          |  round(CASE WHEN len(ts) < 2 THEN 0.0
          |        ELSE 1.0 - len(list_distinct(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])))*1.0/(len(ts)-1) END, 6) AS dup_bigram_frac
          |FROM ln JOIN t ON t.id = ln.doc_id""".stripMargin,
+
+    "web_domain_report" ->
+      """WITH base AS (SELECT doc_id % 7 AS k, length(text) AS tl FROM documents)
+        |SELECT 'site' || k || '.com' AS domain,
+        |  2*count(*) AS pages,
+        |  count(*) AS clusters,
+        |  round(1.0 - count(*)*1.0/(2*count(*)), 6) AS dup_fraction,
+        |  round(avg(tl), 6) AS mean_text_len
+        |FROM base GROUP BY 1""".stripMargin,
 
     "dedup_lines" ->
       """WITH src AS (

@@ -132,6 +132,20 @@ object Normalizers {
     when(length(head) > 0, rebuilt).otherwise(s)
   }
 
+  /** Host of a URL, canonicalized like [[normalizeUrl]] (lowercased,
+    * leading `www.` stripped when >= 2 labels remain, port and any
+    * `user@` prefix dropped); '' when the value has no
+    * scheme://authority prefix. The grouping key for per-domain corpus
+    * reports (crawl pipelines rate-limit, filter and weight by
+    * domain, not by page).
+    */
+  def urlHost(c: Column): Column = {
+    val auth = regexp_extract(trim(safe(c)),
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    val host = lower(regexp_replace(regexp_replace(auth, "^[^@]*@", ""), ":\\d*$", ""))
+    regexp_replace(host, "^www\\.(?=[^.]+\\.)", "")
+  }
+
   /** Dispatch by semantic column type (matcher.py:594-605): phone,
     * email, string_name -> dedicated; address/string_general -> generic
     * string normalization; numeric/date pass through.

@@ -55,6 +55,15 @@ class NormalizersSpec extends AnyFunSuite {
     assert(eval1(normalizeName, "Dr") == "")
   }
 
+  test("url_host extraction") {
+    assert(eval1(urlHost, "HTTP://WWW.Example.COM:8080/p?q=1") == "example.com")
+    assert(eval1(urlHost, "https://user@Sub.Site.org/x") == "sub.site.org")
+    // www. survives when it IS the registrable host (same rule as
+    // normalizeUrl, r3 ADVICE)
+    assert(eval1(urlHost, "http://www.com/") == "www.com")
+    assert(eval1(urlHost, "not a url") == "")
+  }
+
   test("normalize_url canonicalization") {
     // every rule at once: scheme/host case, www, default port, tracking
     // params, param sort, trailing slash, fragment
