@@ -123,7 +123,17 @@ object Main {
           if (cc.columns.nonEmpty) cc.columns.map(c => col(c.source1))
           else src.columns.filterNot(_ == idCol).toSeq.map(col)
         val textCol = concat_ws(" ", clusterCols: _*)
-        val withText = src.withColumn("_cluster_text", textCol)
+        val withText0 = src.withColumn("_cluster_text", textCol)
+        // line_dedup: true — strip corpus-wide boilerplate lines from
+        // the cluster text FIRST (the crawl pipeline order: shared
+        // nav/footer lines otherwise make unrelated pages near-dups)
+        val withText = if (!cc.lineDedup) withText0 else {
+          val deduped = graft.dedup.LineDedup.dedupLines(
+            withText0, idCol, "_cluster_text", cc.lineDedupMaxDf.toLong)
+          withText0.drop("_cluster_text")
+            .withColumn(idCol, col(idCol).cast("long"))
+            .join(deduped, Seq(idCol))
+        }
         val out = (if (cc.useBlocking)
           // LSH-banded candidates + exact verify. max_band_bucket (or,
           // absent that, max_block_size under skip_high_cardinality —

@@ -79,7 +79,16 @@ final case class ClusterSettings(
       * the cluster table, as `<output>_canonical`. Training-data
       * surface, no reference analogue.
       */
-    canonical: Boolean = false)
+    canonical: Boolean = false,
+    /** remove corpus-wide boilerplate lines (LineDedup) from the
+      * cluster text BEFORE near-dup clustering — the standard crawl
+      * pipeline order (shared nav/footer lines otherwise make
+      * unrelated pages near-dups). `line_dedup: true` enables it;
+      * `line_dedup_max_df` sets the occurrence threshold (default 1).
+      * Training-data surface, no reference analogue.
+      */
+    lineDedup: Boolean = false,
+    lineDedupMaxDf: Int = 1)
 
 final case class JobConfig(
     mode: String,
@@ -236,7 +245,9 @@ object JobConfig {
       },
       maxBandBucket = if (n.has("max_band_bucket")) Some(n.get("max_band_bucket").asInt)
         else None,
-      canonical = boolOr(n, "canonical", false))
+      canonical = boolOr(n, "canonical", false),
+      lineDedup = boolOr(n, "line_dedup", false),
+      lineDedupMaxDf = intOr(n, "line_dedup_max_df", 1))
   }
 
   private def intOr(n: JsonNode, f: String, default: Int): Int =

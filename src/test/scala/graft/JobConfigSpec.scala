@@ -151,6 +151,36 @@ class JobConfigSpec extends AnyFunSuite {
     assert(canon.columns.toSet == Set("id", "text", "cluster_id", "cluster_size"))
   }
 
+  test("clustering line_dedup: true strips boilerplate before near-dup") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("linecfg")
+    val src = dir.resolve("docs.parquet").toString
+    // two UNRELATED bodies whose texts are dominated by identical
+    // boilerplate lines: with the boilerplate in, they are near-dups;
+    // line_dedup removes it corpus-wide, so they must NOT cluster
+    val boiler = "HOME ABOUT CONTACT PRIVACY TERMS COOKIES SITEMAP HELP FAQ LOGIN\nall rights reserved by the site operator worldwide every year"
+    Seq((1L, s"$boiler\nalpha beta gamma"), (2L, s"$boiler\ndelta epsilon zeta"))
+      .toDF("id", "text").write.parquet(src)
+    val out = dir.resolve("clusters.parquet").toString
+    def run(lineDedup: Boolean): Map[Long, Long] = {
+      val cfgPath = dir.resolve(s"cfg_$lineDedup.json")
+      java.nio.file.Files.writeString(cfgPath,
+        s"""{"mode": "clustering", "source1": "$src", "output": "$out",
+           | "cluster_config": {"threshold": 0.5, "line_dedup": $lineDedup,
+           |   "columns": [{"source1": "text", "weight": 1.0}]}}""".stripMargin)
+      Main.runConfig(spark, cfgPath.toString)
+      spark.read.parquet(out)
+        .select(org.apache.spark.sql.functions.col("id").cast("long"),
+          org.apache.spark.sql.functions.col("cluster_id"))
+        .as[(Long, Long)].collect().toMap
+    }
+    val without = run(lineDedup = false)
+    assert(without(1L) == without(2L), "boilerplate-dominated docs should cluster without line_dedup")
+    val withLd = run(lineDedup = true)
+    assert(withLd(1L) != withLd(2L), "line_dedup must strip the shared lines so unrelated bodies do not cluster")
+  }
+
   test("mode dependency errors match the reference text") {
     val e1 = intercept[IllegalArgumentException] {
       JobConfig.parse("""{"mode": "clustering", "source1": "a.csv", "source2": "b.csv", "output": "o"}""")
