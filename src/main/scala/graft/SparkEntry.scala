@@ -207,6 +207,23 @@ object SparkEntry {
       graft.web.DomainStats.report(clustered)
     },
 
+    "web_sample_temperature" -> { (s, dir) =>
+      // temperature sampling of a head-heavy corpus: domains sized
+      // 4:2:1:1 (doc_id % 8 buckets), tau = 0.5 flattens the head —
+      // the two tail domains keep rate 1, the mid sqrt(1/2), the head
+      // sqrt(tail/head). The accept test is the cross-engine hash
+      // residue (Sampling.hashResidue), so the oracle reproduces the
+      // exact surviving row set, not just its size.
+      val d = t(s, dir, "documents")
+      val k = when($"doc_id" % 8 < 4, 0).when($"doc_id" % 8 < 6, 1)
+        .when($"doc_id" % 8 < 7, 2).otherwise(3)
+      val pages = d.select($"doc_id".as("page_id"),
+        concat(lit("site"), k.cast("string"), lit(".com")).as("domain"))
+      val counts = pages.groupBy($"domain").agg(count(lit(1)).as("pages"))
+      val rates = graft.web.Sampling.temperatureRates(counts, tau = 0.5)
+      graft.web.Sampling.sampleByRates(pages, "page_id", "domain", rates)
+    },
+
     "dedup_lines" -> { (s, dir) =>
       // corpus-level line dedup (the C4/CCNet boilerplate pass): every
       // doc gets a shared NAV line and a footer shared by its mod-7
@@ -868,6 +885,20 @@ object SparkEntry {
         |  round(1.0 - count(*)*1.0/(2*count(*)), 6) AS dup_fraction,
         |  round(avg(tl), 6) AS mean_text_len
         |FROM base GROUP BY 1""".stripMargin,
+
+    "web_sample_temperature" ->
+      """WITH pages AS (
+        |  SELECT doc_id AS page_id,
+        |    CASE WHEN doc_id % 8 < 4 THEN 0 WHEN doc_id % 8 < 6 THEN 1
+        |         WHEN doc_id % 8 < 7 THEN 2 ELSE 3 END AS k
+        |  FROM documents),
+        |cnt AS (SELECT k, count(*) AS pages FROM pages GROUP BY 1),
+        |rates AS (SELECT k,
+        |    pow(pages, -0.5) / (SELECT max(pow(pages, -0.5)) FROM cnt) AS rate
+        |  FROM cnt)
+        |SELECT p.page_id, 'site' || p.k || '.com' AS domain
+        |FROM pages p JOIN rates r USING (k)
+        |WHERE (p.page_id % 1000003) * 2654435761 % 1000003 < r.rate * 1000003""".stripMargin,
 
     "dedup_lines" ->
       """WITH src AS (

@@ -37,6 +37,24 @@ class PlanSpec extends AnyFunSuite {
     assert(plan(df).contains("BroadcastHashJoin"))
   }
 
+  test("temperature sampling broadcasts the rates side; the corpus never shuffles") {
+    // sampleByRates' join side is one row per domain — at any realistic
+    // domain count AQE/size estimation must broadcast it so the corpus
+    // rides no exchange at all (the accept filter is a codegen'd long
+    // expression on top of the scan)
+    val corpus = docs.select(col("doc_id"),
+      concat(lit("site"), (col("doc_id") % 7).cast("string")).as("domain"))
+    val rates = graft.web.Sampling.temperatureRates(
+      corpus.groupBy(col("domain")).agg(count(lit(1)).as("pages")), tau = 0.5)
+    val sampled = graft.web.Sampling.sampleByRates(corpus, "doc_id", "domain", rates)
+    val p = sampled.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the only exchanges feed the tiny rates aggregation, never the
+    // corpus scan: a corpus-side exchange would precede the join probe
+    val probeSide = sampled.queryExecution.optimizedPlan.toString
+    assert(!probeSide.contains("Repartition"), probeSide)
+  }
+
   test("exact-collapse aggregates map-side (partial before shuffle)") {
     val g = docs.groupBy(col("text")).agg(min(col("doc_id")))
     val p = plan(g)
