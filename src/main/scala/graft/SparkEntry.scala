@@ -224,6 +224,23 @@ object SparkEntry {
       graft.web.Sampling.sampleByRates(pages, "page_id", "domain", rates)
     },
 
+    "web_split_clusters" -> { (s, dir) =>
+      // leakage-free 20% held-out split of the exact-dup-expanded
+      // corpus: the split unit is the CLUSTER (hash residue of
+      // cluster_id), so a doc and its planted copies always land on
+      // the same side — eval never sees a near-copy of a training doc
+      val d = t(s, dir, "documents")
+      val expanded = d.select($"doc_id", $"text")
+        .unionAll(d.where($"doc_id" % 2 === 0)
+          .select(($"doc_id" + 100000).as("doc_id"), $"text"))
+        .unionAll(d.where($"doc_id" % 6 === 0)
+          .select(($"doc_id" + 200000).as("doc_id"), $"text"))
+        .withColumn("_t", Normalizers.normalizeString($"text"))
+      val clustered = Dedup.exactClusters(expanded, "doc_id", "_t")
+      graft.web.Sampling.splitByCluster(clustered, "cluster_id", heldOutFrac = 0.2)
+        .select($"doc_id".cast("long").as("doc_id"), $"cluster_id", $"split")
+    },
+
     "dedup_lines" -> { (s, dir) =>
       // corpus-level line dedup (the C4/CCNet boilerplate pass): every
       // doc gets a shared NAV line and a footer shared by its mod-7
@@ -899,6 +916,14 @@ object SparkEntry {
         |SELECT p.page_id, 'site' || p.k || '.com' AS domain
         |FROM pages p JOIN rates r USING (k)
         |WHERE (p.page_id % 1000003) * 2654435761 % 1000003 < r.rate * 1000003""".stripMargin,
+
+    "web_split_clusters" ->
+      s"""WITH $exactExpansion,
+         |c AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY t) AS cluster_id FROM x)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN (cluster_id % 1000003) * 2654435761 % 1000003 < 0.2 * 1000003
+         |       THEN 'held_out' ELSE 'train' END AS split
+         |FROM c""".stripMargin,
 
     "dedup_lines" ->
       """WITH src AS (

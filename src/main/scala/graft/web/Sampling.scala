@@ -96,4 +96,27 @@ object Sampling {
     val maxW = w.agg(max($"_w").as("_maxw"))
     w.crossJoin(maxW).select($"domain", ($"_w" / $"_maxw").as("rate"))
   }
+
+  /** Leakage-free train/held-out split over a CLUSTERED corpus: the
+    * split unit is the near-dup CLUSTER, not the document — a
+    * row-level split puts near-copies of training documents into the
+    * eval set, and the contamination survives document-level dedup by
+    * construction (the copies are in different splits, so no within-
+    * split pass sees both). Deterministic: side = hash residue of the
+    * cluster id, so re-running on a grown corpus keeps every old
+    * cluster on its old side (new members follow their cluster —
+    * exactly what an accumulating crawl warehouse needs).
+    *
+    * @return df plus a `split` column: "held_out" for the
+    *         `heldOutFrac` residue band, else "train". One codegen'd
+    *         long expression; no join, no shuffle.
+    */
+  def splitByCluster(df: DataFrame, clusterCol: String,
+      heldOutFrac: Double): DataFrame = {
+    require(heldOutFrac >= 0 && heldOutFrac <= 1,
+      s"heldOutFrac must be in [0,1], got $heldOutFrac")
+    df.withColumn("split",
+      when(hashResidue(col(clusterCol)) < lit(heldOutFrac * HashMod),
+        lit("held_out")).otherwise(lit("train")))
+  }
 }

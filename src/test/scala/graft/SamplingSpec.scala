@@ -62,6 +62,28 @@ class SamplingSpec extends AnyFunSuite {
     // 4x the tail's 100 (vs 16x naturally) — the head is flattened
   }
 
+  test("splitByCluster: whole clusters share a side, fraction holds, old sides are stable") {
+    // 5000 docs in 1000 clusters of 5
+    val docs = ids(5000).select(col("id"), (col("id") % 1000).as("cluster_id"))
+    val split = Sampling.splitByCluster(docs, "cluster_id", heldOutFrac = 0.2)
+    // every member of a cluster lands on the same side (the leakage guarantee)
+    val sidesPerCluster = split.groupBy(col("cluster_id"))
+      .agg(countDistinct(col("split")).as("sides"))
+      .agg(max(col("sides"))).head().getLong(0)
+    assert(sidesPerCluster == 1L)
+    val heldOut = split.where(col("split") === "held_out").count()
+    assert(math.abs(heldOut / 5000.0 - 0.2) < 0.03, s"held out $heldOut of 5000")
+    // growing the corpus (new members in existing clusters + new
+    // clusters) never flips an old cluster's side: side is a pure
+    // function of cluster_id
+    val grown = ids(8000).select(col("id"), (col("id") % 1600).as("cluster_id"))
+    val re = Sampling.splitByCluster(grown, "cluster_id", heldOutFrac = 0.2)
+      .select(col("cluster_id"), col("split")).distinct()
+    val old = split.select(col("cluster_id"), col("split")).distinct()
+    assert(re.join(old, Seq("cluster_id"))
+      .where(re("split") =!= old("split")).count() == 0L)
+  }
+
   test("end-to-end: temperature sample rebalances a skewed corpus deterministically") {
     val corpus = ids(8000).select(col("id"),
       when(col("id") % 8 < 6, lit("head.com")).otherwise(lit("tail.org")).as("domain"))
