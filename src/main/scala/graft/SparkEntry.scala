@@ -163,6 +163,22 @@ object SparkEntry {
         .select($"doc_id".cast("long").as("doc_id"))
     },
 
+    "decon_ngram" -> { (s, dir) =>
+      // GPT-3-style exact n-gram decontamination report: the eval set
+      // is a 12-word snippet lifted from every doc_id%7==3 doc (words
+      // 3..14 of the normalized text), so each eval doc shares its
+      // interior 6-grams with its source page (and with any page whose
+      // text repeats those runs) while whole-document jaccard stays far
+      // below any dedup threshold — the embedded-contamination case
+      // exact n-gram collision exists for
+      val d = t(s, dir, "documents").select($"doc_id", $"text")
+      val toks = split(Normalizers.normalizeString($"text"), " ")
+      val ref = d.where($"doc_id" % 7 === 3)
+        .select(($"doc_id" + 500000).as("ref_id"),
+          array_join(slice(toks, 3, 12), " ").as("text"))
+      Dedup.ngramContamination(d, "doc_id", "text", ref, "ref_id", "text", n = 6)
+    },
+
     "dedup_canonical" -> { (s, dir) =>
       // the deduplicated-corpus projection: one survivor per near-dup
       // cluster, longest text wins, ties to the lowest doc_id
@@ -773,6 +789,19 @@ object SparkEntry {
         |        JOIN sz ON sz.id = inter.id JOIN szr ON szr.rid = inter.rid
         |        WHERE c*1.0/(sz.n + szr.n - c) >= 0.8)
         |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM bad)""".stripMargin,
+
+    // exact word-6-gram collision counts against the snippet eval set;
+    // the CASE mirrors word_shingles' short-doc fallback (a doc of <= n
+    // words contributes its whole text as one shingle)
+    "decon_ngram" ->
+      """WITH t AS (SELECT doc_id AS id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts FROM documents),
+        |r AS (SELECT id + 500000 AS rid, ts[3:14] AS ts FROM t WHERE id % 7 = 3),
+        |g AS (SELECT id, unnest(list_distinct(CASE WHEN len(ts) <= 6 THEN [array_to_string(ts, ' ')]
+        |        ELSE list_transform(range(1, len(ts)-6+2), i -> array_to_string(ts[i:i+5], ' ')) END)) AS gr FROM t),
+        |gr_ AS (SELECT rid, unnest(list_distinct(CASE WHEN len(ts) <= 6 THEN [array_to_string(ts, ' ')]
+        |        ELSE list_transform(range(1, len(ts)-6+2), i -> array_to_string(ts[i:i+5], ' ')) END)) AS gr FROM r)
+        |SELECT g.id AS doc_id, gr_.rid AS ref_id, count(*) AS shared_ngrams
+        |FROM g JOIN gr_ ON g.gr = gr_.gr GROUP BY 1, 2""".stripMargin,
 
     // deduplicated-corpus projection: same recursive-CTE clustering,
     // survivor = longest text, ties to lowest doc_id

@@ -726,6 +726,78 @@ object Dedup {
       .join(bad, Seq(idCol), "left_anti")
   }
 
+  /** Exact n-gram decontamination report — the OTHER standard
+    * decontamination method (GPT-3 appendix C / PaLM style: a training
+    * document is contaminated if it shares at least one exact word
+    * 13-gram with an eval document; no reference analogue — the
+    * training-data brief's surface). Complements [[contaminationPairs]]
+    * (banded MinHash + Jaccard threshold): n-gram collision catches a
+    * short eval snippet EMBEDDED in a long page, which whole-document
+    * Jaccard dilutes below any usable threshold.
+    *
+    * Shape, sized for corpus >> eval set: both sides explode distinct
+    * word n-grams (string-distinct per doc, then xxhash64 so the join
+    * shuffles 8-byte keys, never 13-word strings; a 64-bit collision
+    * can only merge two grams — vanishing probability, bounded effect
+    * on a count). The eval side is tiny by nature, so its gram table
+    * broadcasts when its row count is <= `maxRefBroadcast` (same
+    * bound discipline as the incremental merge's probe); above that it
+    * degrades to a shuffle join. Per-gram join fan-out is
+    * corpusDf(g) x refDf(g) — bounded by the eval set on one side;
+    * `maxGramDf` (0 = off) drops grams above that CORPUS document
+    * frequency (ubiquitous boilerplate: the standard df-cap recall
+    * tradeoff; the hot set rides one bounded broadcast, and pulling a
+    * gram from the corpus side alone removes it from the inner join).
+    *
+    * @return one row per contaminated (corpus doc, eval doc) pair:
+    *         (idCol, refIdCol [+ "_ref" if names collide],
+    *         shared_ngrams = count of distinct shared n-grams).
+    */
+  def ngramContamination(corpus: DataFrame, idCol: String, textCol: String,
+      reference: DataFrame, refIdCol: String, refTextCol: String,
+      n: Int = 13, maxGramDf: Int = 0,
+      maxRefBroadcast: Long = 4000000L): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    def grams(df: DataFrame, id: String, text: String) =
+      ensureParallel(df.select(col(id).cast("long").as("id"),
+          Normalizers.normalizeString(col(text)).as("_t")))
+        .select($"id", explode(array_distinct(word_shingles($"_t", n))).as("g"))
+        .select($"id", xxhash64($"g").as("g"))
+    val cg0 = grams(corpus, idCol, textCol)
+    val cg =
+      if (maxGramDf <= 0) cg0
+      else {
+        val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val cgp = cg0.persist(lvl)
+        val hot = broadcast(cgp.groupBy($"g").agg(count(lit(1)).as("df"))
+          .where($"df" > maxGramDf).select($"g"))
+        graft.CacheHygiene.releaseAfterAction(
+          cgp.join(hot, Seq("g"), "left_anti"),
+          () => { cgp.unpersist(false); () })
+      }
+    val rg0 = grams(reference, refIdCol, refTextCol)
+    val rg = if (rg0.count() <= maxRefBroadcast) broadcast(rg0) else rg0
+    val refOut = if (refIdCol == idCol) refIdCol + "_ref" else refIdCol
+    cg.as("a").join(rg.as("b"), Seq("g"))
+      .groupBy($"a.id".as(idCol), $"b.id".as(refOut))
+      .agg(count(lit(1)).as("shared_ngrams"))
+  }
+
+  /** The n-gram-deconned corpus: every input column, minus documents
+    * sharing >= `minShared` distinct word n-grams with any reference
+    * document. The anti-join key is the long-cast id.
+    */
+  def ngramDecontaminate(corpus: DataFrame, idCol: String, textCol: String,
+      reference: DataFrame, refIdCol: String, refTextCol: String,
+      n: Int = 13, minShared: Long = 1, maxGramDf: Int = 0): DataFrame = {
+    val bad = ngramContamination(corpus, idCol, textCol,
+        reference, refIdCol, refTextCol, n, maxGramDf)
+      .where($"shared_ngrams" >= minShared)
+      .select(col(idCol)).distinct()
+    corpus.withColumn(idCol, col(idCol).cast("long"))
+      .join(bad, Seq(idCol), "left_anti")
+  }
+
   /** Incremental dedup: cluster a NEW batch of documents against an
     * already-clustered corpus in O(batch + touched clusters) work — the
     * operation a 10^12-document crawl pipeline actually runs (full

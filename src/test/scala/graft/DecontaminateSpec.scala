@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.{concat, lit}
 import graft.dedup.{Dedup, DedupConfig}
 
 /** Cross-corpus decontamination: corpus docs near-dupping a reference
@@ -66,6 +67,58 @@ class DecontaminateSpec extends AnyFunSuite {
     val got = pairs.select($"doc_id", $"ref_id").as[(Long, Long)].collect().toSet
     assert(got == Set((2L, 900L)))
     Dedup.release(pairs)
+  }
+
+  // ---------------- exact n-gram (GPT-3-style) decontamination ------
+
+  // a 12-word snippet lifted from doc 2 (words 5..16): whole-document
+  // jaccard is ~7/25 — far below any dedup threshold — but every one
+  // of its 7 6-grams collides with doc 2 (the embedded-contamination
+  // case n-gram collision exists for)
+  private val snippet = (5 to 16).map(i => s"c2$i").mkString(" ")
+
+  test("ngramContamination reports the embedded snippet with its exact gram count") {
+    val ref = Seq((900L, snippet), (901L, mk("fresh"))).toDF("ref_id", "text")
+    val got = Dedup.ngramContamination(corpus, "doc_id", "text",
+        ref, "ref_id", "text", n = 6)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((2L, 900L, 7L)))
+  }
+
+  test("ngramDecontaminate honours minShared") {
+    val ref = Seq((900L, snippet)).toDF("ref_id", "text")
+    val clean = Dedup.ngramDecontaminate(corpus, "doc_id", "text",
+      ref, "ref_id", "text", n = 6)
+    assert(clean.select($"doc_id").as[Long].collect().toSet ==
+      Set(0L, 1L, 3L, 4L, 5L, 100L, 101L))
+    // a floor above the snippet's 7 shared grams keeps everything
+    val lax = Dedup.ngramDecontaminate(corpus, "doc_id", "text",
+      ref, "ref_id", "text", n = 6, minShared = 8)
+    assert(lax.count() == corpus.count())
+  }
+
+  test("ngram maxGramDf drops corpus-boilerplate grams from the report") {
+    val boiler = "share1 share2 share3 share4 share5 share6"
+    val corpusB = corpus.select($"doc_id",
+      concat($"text", lit(" " + boiler)).as("text"))
+    val refB = Seq((902L, "e1 e2 e3 " + boiler)).toDF("ref_id", "text")
+    // uncapped: the one pure boilerplate gram pairs every corpus doc
+    val all = Dedup.ngramContamination(corpusB, "doc_id", "text",
+      refB, "ref_id", "text", n = 6)
+    assert(all.count() == corpusB.count())
+    // capped: gram df = 8 > 3 -> pulled from the corpus side, no pairs left
+    val capped = Dedup.ngramContamination(corpusB, "doc_id", "text",
+      refB, "ref_id", "text", n = 6, maxGramDf = 3)
+    assert(capped.count() == 0)
+  }
+
+  test("ngram report: idCol == refIdCol naming; shuffle-join fallback agrees") {
+    val ref2 = Seq((900L, snippet)).toDF("doc_id", "text")
+    // maxRefBroadcast = 0 forces the non-broadcast join path
+    val pairs = Dedup.ngramContamination(corpus, "doc_id", "text",
+      ref2, "doc_id", "text", n = 6, maxRefBroadcast = 0L)
+    assert(pairs.columns.toSeq == Seq("doc_id", "doc_id_ref", "shared_ngrams"))
+    assert(pairs.as[(Long, Long, Long)].collect().toSet == Set((2L, 900L, 7L)))
   }
 
   test("no persisted blocks survive after release") {
