@@ -190,13 +190,23 @@ object Main {
         val (cid, rid) = (idOf(corpus), idOf(ref))
         val cWith = corpus.withColumn("_decon_text", textOf(corpus, cid))
         val rWith = ref.withColumn("_decon_text", textOf(ref, rid))
-        val clean = Dedup.decontaminate(cWith, cid, "_decon_text",
-            rWith, rid, "_decon_text",
-            DedupConfig(threshold = cc.threshold, exactVerify = true,
-              candidateMode = cc.candidateMode,
-              maxBandBucket = cc.maxBandBucket.getOrElse(
-                if (cc.skipHighCardinality) cc.maxBlockSize else 0)))
-          .drop("_decon_text")
+        // decon_method selects between whole-document near-dup removal
+        // (minhash, the default) and GPT-3-style exact n-gram collision
+        // (ngram — catches eval snippets embedded in long pages)
+        val clean = (cc.deconMethod match {
+          case "ngram" =>
+            Dedup.ngramDecontaminate(cWith, cid, "_decon_text",
+              rWith, rid, "_decon_text",
+              n = cc.deconNgramN, minShared = cc.deconMinShared,
+              maxGramDf = cc.deconMaxGramDf)
+          case _ =>
+            Dedup.decontaminate(cWith, cid, "_decon_text",
+              rWith, rid, "_decon_text",
+              DedupConfig(threshold = cc.threshold, exactVerify = true,
+                candidateMode = cc.candidateMode,
+                maxBandBucket = cc.maxBandBucket.getOrElse(
+                  if (cc.skipHighCardinality) cc.maxBlockSize else 0)))
+        }).drop("_decon_text")
         Sources.write(clean, cfg.output)
 
       case _ => // matching

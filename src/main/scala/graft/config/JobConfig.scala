@@ -88,7 +88,20 @@ final case class ClusterSettings(
       * Training-data surface, no reference analogue.
       */
     lineDedup: Boolean = false,
-    lineDedupMaxDf: Int = 1)
+    lineDedupMaxDf: Int = 1,
+    /** decontaminate-mode method: "minhash" (whole-document near-dup
+      * vs the eval set, the default) or "ngram" (GPT-3-style exact
+      * word n-gram collision — catches a short eval snippet EMBEDDED
+      * in a long page). ngram knobs: decon_ngram_n (gram width,
+      * default 13), decon_min_shared (distinct shared grams to flag a
+      * doc, default 1), decon_max_gram_df (corpus-df cap dropping
+      * boilerplate grams, 0 = off). Training-data surface, no
+      * reference analogue.
+      */
+    deconMethod: String = "minhash",
+    deconNgramN: Int = 13,
+    deconMinShared: Long = 1L,
+    deconMaxGramDf: Int = 0)
 
 final case class JobConfig(
     mode: String,
@@ -247,7 +260,18 @@ object JobConfig {
         else None,
       canonical = boolOr(n, "canonical", false),
       lineDedup = boolOr(n, "line_dedup", false),
-      lineDedupMaxDf = intOr(n, "line_dedup_max_df", 1))
+      lineDedupMaxDf = intOr(n, "line_dedup_max_df", 1),
+      deconMethod = {
+        val m = textOr(n, "decon_method", "minhash")
+        if (m != "minhash" && m != "ngram")
+          throw new IllegalArgumentException(
+            s"Configuration validation error at 'decon_method': " +
+              s"'$m' is not one of ['minhash', 'ngram']")
+        m
+      },
+      deconNgramN = intOr(n, "decon_ngram_n", 13),
+      deconMinShared = intOr(n, "decon_min_shared", 1).toLong,
+      deconMaxGramDf = intOr(n, "decon_max_gram_df", 0))
   }
 
   private def intOr(n: JsonNode, f: String, default: Int): Int =

@@ -128,6 +128,38 @@ class JobConfigSpec extends AnyFunSuite {
     assert(ids == Set(0L, 1L, 3L, 4L, 5L, 100L, 101L), s"got $ids")
   }
 
+  test("decontaminate decon_method: ngram — validation + e2e embedded-snippet removal") {
+    val bad = intercept[IllegalArgumentException] {
+      JobConfig.parse("""{"mode": "decontaminate", "source1": "a.csv", "source2": "r.csv",
+        "output": "o", "cluster_config": {"decon_method": "bogus"}}""")
+    }
+    assert(bad.getMessage.contains("decon_method"))
+
+    // eval doc = a 12-word snippet of corpus doc 2 (words 5..16):
+    // whole-document jaccard stays far below the 0.8 minhash threshold,
+    // so ONLY the ngram method may drop doc 2
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("deconngramcfg")
+    def mk(tag: String) = (1 to 30).map(i => s"$tag$i").mkString(" ")
+    val corpusPath = dir.resolve("corpus.parquet").toString
+    (0L to 5L).map(g => (g, mk(s"c$g")))
+      .toDF("id", "text").write.parquet(corpusPath)
+    val refPath = dir.resolve("ref.parquet").toString
+    Seq((900L, (5 to 16).map(i => s"c2$i").mkString(" ")))
+      .toDF("id", "text").write.parquet(refPath)
+    val out = dir.resolve("clean.parquet").toString
+    val cfgPath = dir.resolve("cfg.json")
+    java.nio.file.Files.writeString(cfgPath,
+      s"""{"mode": "decontaminate", "source1": "$corpusPath",
+         | "source2": "$refPath", "output": "$out",
+         | "cluster_config": {"decon_method": "ngram", "decon_ngram_n": 6,
+         |   "columns": [{"source1": "text", "weight": 1.0}]}}""".stripMargin)
+    Main.runConfig(spark, cfgPath.toString)
+    val ids = spark.read.parquet(out).select("id").as[Long].collect().toSet
+    assert(ids == Set(0L, 1L, 3L, 4L, 5L), s"got $ids")
+  }
+
   test("clustering canonical: true writes the survivor corpus next to the clusters") {
     val spark = SparkTestBase.spark
     import spark.implicits._
