@@ -123,10 +123,16 @@ object Main {
           if (cc.columns.nonEmpty) cc.columns.map(c => col(c.source1))
           else src.columns.filterNot(_ == idCol).toSeq.map(col)
         val textCol = concat_ws(" ", clusterCols: _*)
-        val withText0 = src.withColumn("_cluster_text", textCol)
+        val withTextRaw = src.withColumn("_cluster_text", textCol)
+        // c4_filter: true — the C4 heuristic quality pass runs FIRST
+        // (drop junk lines, kill junk pages), then boilerplate line
+        // dedup, then clustering: the standard crawl pipeline order
+        val withText0 = if (!cc.c4Filter) withTextRaw
+          else graft.text.TextAnalysis.c4Filter(withTextRaw, "_cluster_text",
+            cc.c4MinLineWords, cc.c4MinSentences)
         // line_dedup: true — strip corpus-wide boilerplate lines from
-        // the cluster text FIRST (the crawl pipeline order: shared
-        // nav/footer lines otherwise make unrelated pages near-dups)
+        // the cluster text (shared nav/footer lines otherwise make
+        // unrelated pages near-dups)
         val withText = if (!cc.lineDedup) withText0 else {
           val deduped = graft.dedup.LineDedup.dedupLines(
             withText0, idCol, "_cluster_text", cc.lineDedupMaxDf.toLong)

@@ -205,6 +205,25 @@ object SparkEntry {
         .select($"page_id".cast("long").as("page_id"), $"cluster_id", $"cluster_size")
     },
 
+    "web_new_urls" -> { (s, dir) =>
+      // crawl-frontier filter: the base corpus holds every canonical
+      // url; the batch carries, per doc, a MESSY variant of the seen
+      // url (normalize-identical -> dropped) and a genuinely new path
+      // (kept). Survivors = exactly the new rows.
+      val d = t(s, dir, "documents").select($"doc_id")
+      val canon = concat(lit("http://site"), ($"doc_id" % 7).cast("string"),
+        lit(".com/p/"), $"doc_id".cast("string"))
+      val messy = concat(lit("HTTP://WWW.Site"), ($"doc_id" % 7).cast("string"),
+        lit(".COM:80/p/"), $"doc_id".cast("string"), lit("/?utm_campaign=x#top"))
+      val fresh = concat(lit("http://site"), ($"doc_id" % 7).cast("string"),
+        lit(".com/new/"), $"doc_id".cast("string"))
+      val base = d.select($"doc_id".as("page_id"), canon.as("url"))
+      val batch = d.select(($"doc_id" * 2).as("page_id"), messy.as("url"))
+        .unionAll(d.select(($"doc_id" * 2 + 1).as("page_id"), fresh.as("url")))
+      Dedup.newUrls(batch, base, "url")
+        .select($"page_id".cast("long").as("page_id"), $"url")
+    },
+
     "web_domain_report" -> { (s, dir) =>
       // per-domain dup-rate report: each doc contributes a canonical
       // and a messy variant of the same URL (normalize-identical, so
@@ -385,6 +404,28 @@ object SparkEntry {
       d.select($"doc_id",
         round(TextAnalysis.dupLineFraction(tripled), 6).as("dup_line_frac"),
         round(TextAnalysis.dupNgramFraction($"text", 2), 6).as("dup_bigram_frac"))
+    },
+
+    "text_c4_filter" -> { (s, dir) =>
+      // C4 §2.2 heuristic cleaning over a constructed multi-line page
+      // (the corpus text has no newlines/punctuation): three punctuated
+      // sentence lines — the third only when doc_id%3!=1, starving
+      // those pages below the 3-sentence floor — plus a too-short
+      // line, an unterminated line, a javascript line, and page-killer
+      // lines ("{" markup when %5==0, lorem ipsum when %7==0)
+      val d = t(s, dir, "documents")
+      val toks = split($"text", " ")
+      def sent(start: Int, len: Int, mark: String) =
+        concat(array_join(slice(toks, start, len), " "), lit(mark))
+      val page = concat_ws("\n",
+        sent(1, 6, "."), sent(5, 6, "!"),
+        lit("too short."),
+        array_join(slice(toks, 2, 5), " "),
+        lit("please enable javascript to continue viewing."),
+        when($"doc_id" % 3 =!= 1, sent(3, 5, "?")),
+        when($"doc_id" % 5 === 0, lit("broken { markup")),
+        when($"doc_id" % 7 === 0, lit("see the classic Lorem Ipsum passage.")))
+      TextAnalysis.c4Filter(d.select($"doc_id", page.as("text")), "text")
     },
 
     // ---------------------------------------------------------- matching
@@ -922,6 +963,39 @@ object SparkEntry {
          |  round(CASE WHEN len(ts) < 2 THEN 0.0
          |        ELSE 1.0 - len(list_distinct(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])))*1.0/(len(ts)-1) END, 6) AS dup_bigram_frac
          |FROM ln JOIN t ON t.id = ln.doc_id""".stripMargin,
+
+    // the IDENTICAL C4 rules: same page construction, same line keep
+    // predicate (terminal punct + >=5 words + no "javascript"), same
+    // page predicates (no lorem ipsum / "{" on raw, >=3 terminal marks
+    // on cleaned)
+    "text_c4_filter" ->
+      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |pg AS (SELECT doc_id, concat_ws(chr(10),
+        |    array_to_string(ts[1:6], ' ') || '.',
+        |    array_to_string(ts[5:10], ' ') || '!',
+        |    'too short.',
+        |    array_to_string(ts[2:6], ' '),
+        |    'please enable javascript to continue viewing.',
+        |    CASE WHEN doc_id % 3 <> 1 THEN array_to_string(ts[3:7], ' ') || '?' END,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'broken { markup' END,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'see the classic Lorem Ipsum passage.' END) AS page
+        |  FROM s),
+        |cl AS (SELECT doc_id, page,
+        |    array_to_string(list_filter(string_split(page, chr(10)),
+        |      l -> regexp_matches(trim(l), '[.!?"]$')
+        |       AND len(string_split_regex(trim(l), '\s+')) >= 5
+        |       AND NOT contains(lower(trim(l)), 'javascript')), chr(10)) AS text
+        |  FROM pg)
+        |SELECT doc_id, text FROM cl
+        |WHERE NOT contains(lower(page), 'lorem ipsum') AND NOT contains(page, '{')
+        |  AND len(regexp_extract_all(text, '[.!?]')) >= 3""".stripMargin,
+
+    // closed-form: the messy batch rows canonicalize to seen base urls
+    // and drop; only the /new/ rows survive
+    "web_new_urls" ->
+      """SELECT doc_id*2+1 AS page_id,
+        |       'http://site' || (doc_id % 7) || '.com/new/' || doc_id AS url
+        |FROM documents""".stripMargin,
 
     "web_domain_report" ->
       """WITH base AS (SELECT doc_id % 7 AS k, length(text) AS tl FROM documents)

@@ -89,6 +89,15 @@ final case class ClusterSettings(
       */
     lineDedup: Boolean = false,
     lineDedupMaxDf: Int = 1,
+    /** run the C4 §2.2 heuristic quality filter over the cluster text
+      * FIRST (before line_dedup and clustering): drop unterminated /
+      * short / javascript lines, and lorem-ipsum / brace /
+      * under-`c4_min_sentences` pages entirely. Training-data surface,
+      * no reference analogue.
+      */
+    c4Filter: Boolean = false,
+    c4MinLineWords: Int = 5,
+    c4MinSentences: Int = 3,
     /** decontaminate-mode method: "minhash" (whole-document near-dup
       * vs the eval set, the default) or "ngram" (GPT-3-style exact
       * word n-gram collision — catches a short eval snippet EMBEDDED
@@ -261,6 +270,9 @@ object JobConfig {
       canonical = boolOr(n, "canonical", false),
       lineDedup = boolOr(n, "line_dedup", false),
       lineDedupMaxDf = intOr(n, "line_dedup_max_df", 1),
+      c4Filter = boolOr(n, "c4_filter", false),
+      c4MinLineWords = intOr(n, "c4_min_line_words", 5),
+      c4MinSentences = intOr(n, "c4_min_sentences", 3),
       deconMethod = {
         val m = textOr(n, "decon_method", "minhash")
         if (m != "minhash" && m != "ngram")

@@ -798,6 +798,38 @@ object Dedup {
       .join(bad, Seq(idCol), "left_anti")
   }
 
+  /** URL seen-set filter — the crawl-frontier op: drop batch pages
+    * whose canonical URL ([[Normalizers.normalizeUrl]]) already exists
+    * in the base corpus. The batch (one crawl snapshot) is small
+    * relative to the accumulated base, so the plan is sided like the
+    * incremental merge: the base is scanned ONCE and filtered by a
+    * broadcast left-semi join against the batch's distinct canonical
+    * urls — the base never shuffles and never broadcasts; only the
+    * <= |batch| "seen" set crosses the cluster. Above
+    * `maxBatchBroadcast` distinct batch urls the broadcast would be
+    * the OOM cliff, so it degrades to a plain shuffle anti-join
+    * (identical result, one base shuffle).
+    *
+    * Within-batch duplicates are NOT collapsed (both copies of a new
+    * url survive) — run url-level dedup ([[exactClusters]] over
+    * `normalize_url`) separately; a frontier filter and a dedup are
+    * different ops.
+    *
+    * @return every batch column, minus rows whose canonical url is in
+    *         the base.
+    */
+  def newUrls(batch: DataFrame, base: DataFrame, urlCol: String,
+      maxBatchBroadcast: Long = 4000000L): DataFrame = {
+    val key = Normalizers.normalizeUrl(col(urlCol))
+    val batchKeys = batch.select(key.as("_u")).distinct()
+    val baseKeys = base.select(key.as("_u"))
+    val seen =
+      if (batchKeys.count() <= maxBatchBroadcast)
+        baseKeys.join(broadcast(batchKeys), Seq("_u"), "left_semi").distinct()
+      else baseKeys.distinct()
+    batch.withColumn("_u", key).join(seen, Seq("_u"), "left_anti").drop("_u")
+  }
+
   /** Incremental dedup: cluster a NEW batch of documents against an
     * already-clustered corpus in O(batch + touched clusters) work — the
     * operation a 10^12-document crawl pipeline actually runs (full

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.ws_tokens
 import graft.norm.Normalizers
@@ -139,5 +139,54 @@ object TextAnalysis {
     when(size(toks) < n, 0.0)
       .otherwise(lit(1.0) -
         size(array_distinct(grams)).cast("double") / size(grams).cast("double"))
+  }
+
+  // ---------------------------------------------------- C4 heuristics
+  // The C4 cleaning rules (Raffel et al. 2020, "Exploring the Limits of
+  // Transfer Learning...", §2.2) — the standard first-pass heuristic
+  // filter a web-crawl training pipeline runs before dedup. Line level:
+  // keep only lines that end in a terminal punctuation mark, have at
+  // least `minLineWords` words, and do not mention "javascript". Page
+  // level: drop pages containing "lorem ipsum" or "{" anywhere in the
+  // RAW text, and pages whose CLEANED text has fewer than
+  // `minSentences` sentences (sentence count = terminal-mark count — a
+  // deterministic stand-in for C4's sentence splitter, identical in
+  // both engines). Pure Column algebra over split arrays — codegen'd,
+  // no UDF, regexes in the shared Java-regex/RE2 subset so the DuckDB
+  // oracle (`text_c4_filter`) applies the IDENTICAL rules.
+
+  /** Line-level C4 keep predicate over one (already `\n`-free) line. */
+  def c4LineKeep(line: Column, minLineWords: Int = 5): Column = {
+    val t = trim(line)
+    t.rlike("[.!?\"]$") &&
+      size(split(t, "\\s+")) >= minLineWords &&
+      !contains(lower(t), lit("javascript"))
+  }
+
+  /** The C4-cleaned text: surviving lines rejoined with `\n`. */
+  def c4CleanText(text: Column, minLineWords: Int = 5): Column =
+    array_join(
+      filter(split(text, "\n", -1), l => c4LineKeep(l, minLineWords)), "\n")
+
+  /** Page-level C4 keep predicate: lorem-ipsum / brace checks on the
+    * raw page, sentence floor on the cleaned text.
+    */
+  def c4PageKeep(rawText: Column, cleaned: Column,
+      minSentences: Int = 3): Column =
+    !contains(lower(rawText), lit("lorem ipsum")) &&
+      !contains(rawText, lit("{")) &&
+      size(regexp_extract_all(cleaned, lit("[.!?]"), lit(0))) >= minSentences
+
+  /** Apply the full C4 pass to a corpus: `textCol` is replaced by its
+    * cleaned text and failing pages are dropped; every other column
+    * rides through. One codegen'd projection + one filter — no
+    * shuffle, no UDF; at 100 TB this is a pure map stage that fuses
+    * into the scan.
+    */
+  def c4Filter(df: DataFrame, textCol: String, minLineWords: Int = 5,
+      minSentences: Int = 3): DataFrame = {
+    val cleaned = c4CleanText(col(textCol), minLineWords)
+    df.where(c4PageKeep(col(textCol), cleaned, minSentences))
+      .withColumn(textCol, cleaned)
   }
 }

@@ -160,6 +160,32 @@ class JobConfigSpec extends AnyFunSuite {
     assert(ids == Set(0L, 1L, 3L, 4L, 5L), s"got $ids")
   }
 
+  test("clustering c4_filter: true drops junk pages before clustering") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("c4cfg")
+    val src = dir.resolve("docs.parquet").toString
+    val good = "A first proper sentence with enough words here.\n" +
+      "A second proper sentence with enough words too!\n" +
+      "A third proper sentence closing out the page?"
+    Seq((1L, good), (2L, good + "\nAn extra fourth sentence only this page has."),
+      (3L, "junk { page with no sentences"))
+      .toDF("id", "text").write.parquet(src)
+    val out = dir.resolve("clusters.parquet").toString
+    val cfgPath = dir.resolve("cfg.json")
+    java.nio.file.Files.writeString(cfgPath,
+      s"""{"mode": "clustering", "source1": "$src", "output": "$out",
+         | "cluster_config": {"threshold": 0.5, "c4_filter": true,
+         |   "columns": [{"source1": "text", "weight": 1.0}]}}""".stripMargin)
+    Main.runConfig(spark, cfgPath.toString)
+    val got = spark.read.parquet(out)
+    val ids = got.select("id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L), s"junk page must be filtered before clustering, got $ids")
+    // the two surviving near-identical pages still cluster together
+    val clusters = got.select("cluster_id").distinct().count()
+    assert(clusters == 1L)
+  }
+
   test("clustering canonical: true writes the survivor corpus next to the clusters") {
     val spark = SparkTestBase.spark
     import spark.implicits._
