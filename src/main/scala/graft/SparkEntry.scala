@@ -224,6 +224,25 @@ object SparkEntry {
         .select($"page_id".cast("long").as("page_id"), $"url")
     },
 
+    "web_new_urls_bloom" -> { (s, dir) =>
+      // the bloom-pruned scale path of the frontier filter — EXACT
+      // semantics (bloom prunes, anti-join decides), so the oracle is
+      // the same closed-form as web_new_urls; same fixture
+      val d = t(s, dir, "documents").select($"doc_id")
+      val canon = concat(lit("http://site"), ($"doc_id" % 7).cast("string"),
+        lit(".com/p/"), $"doc_id".cast("string"))
+      val messy = concat(lit("HTTP://WWW.Site"), ($"doc_id" % 7).cast("string"),
+        lit(".COM:80/p/"), $"doc_id".cast("string"), lit("/?utm_campaign=x#top"))
+      val fresh = concat(lit("http://site"), ($"doc_id" % 7).cast("string"),
+        lit(".com/new/"), $"doc_id".cast("string"))
+      val base = d.select($"doc_id".as("page_id"), canon.as("url"))
+      val batch = d.select(($"doc_id" * 2).as("page_id"), messy.as("url"))
+        .unionAll(d.select(($"doc_id" * 2 + 1).as("page_id"), fresh.as("url")))
+      val bloom = graft.web.Frontier.urlBloom(base, "url", expectedItems = 10000)
+      graft.web.Frontier.newUrlsBloom(batch, base, "url", bloom)
+        .select($"page_id".cast("long").as("page_id"), $"url")
+    },
+
     "web_domain_report" -> { (s, dir) =>
       // per-domain dup-rate report: each doc contributes a canonical
       // and a messy variant of the same URL (normalize-identical, so
@@ -373,6 +392,21 @@ object SparkEntry {
         .select($"query_id", $"neighbor_id")
     },
 
+    "decon_embedding" -> { (s, dir) =>
+      // semantic decontamination: the reference set is 25 exact copies
+      // of corpus embeddings (%20), so at threshold 0.99 exactly those
+      // corpus docs are contaminated; the oracle recomputes the SAME
+      // semantics by brute-force cosine (NOT plant bookkeeping), so
+      // the LSH candidate recall and the threshold filter are both
+      // cross-checked
+      val e = t(s, dir, "embeddings")
+      val ref = e.where($"vec_id" % 20 === 0)
+        .select(($"vec_id" + 100000).as("vec_id"), $"embedding")
+      Embeddings.embeddingDecontaminate(e, "vec_id", "embedding",
+          ref, "vec_id", "embedding", 0.99)
+        .select($"vec_id")
+    },
+
     // ------------------------------------------------------ text analysis
 
     "text_stats" -> { (s, dir) =>
@@ -426,6 +460,38 @@ object SparkEntry {
         when($"doc_id" % 5 === 0, lit("broken { markup")),
         when($"doc_id" % 7 === 0, lit("see the classic Lorem Ipsum passage.")))
       TextAnalysis.c4Filter(d.select($"doc_id", page.as("text")), "text")
+    },
+
+    "text_gopher" -> { (s, dir) =>
+      // Gopher §A1.1 document rules over a constructed multi-line page
+      // exercising every rule: bullet lines (%4), an ellipsis line
+      // (%5), symbol tokens (%6), non-alphabetic words (%3), a
+      // stopword-rich line (%2). Emits every signal plus the composite
+      // keep flag so the oracle cross-checks each rule, not just the
+      // conjunction.
+      val d = t(s, dir, "documents")
+      val toks = split($"text", " ")
+      def words(start: Int, len: Int) = array_join(slice(toks, start, len), " ")
+      val page = concat_ws("\n",
+        words(1, 12),
+        when($"doc_id" % 4 === 0, concat(lit("• "), words(2, 4))),
+        when($"doc_id" % 4 === 0, lit("- a bullet item")),
+        when($"doc_id" % 5 === 0, concat(words(3, 5), lit("..."))),
+        when($"doc_id" % 6 === 0, lit("# # # # # #")),
+        when($"doc_id" % 3 === 0, lit("111 222 333 444")),
+        when($"doc_id" % 2 === 0,
+          lit("the study went on with that to be of use and have more")),
+        words(6, 10))
+      d.select($"doc_id",
+        TextAnalysis.wsTokenCount(Normalizers.normalizeString(page))
+          .cast("long").as("n_words"),
+        round(TextAnalysis.meanTokenLen(page), 6).as("mean_word_len"),
+        round(TextAnalysis.symbolToWordRatio(page), 6).as("symbol_ratio"),
+        round(TextAnalysis.bulletLineFraction(page), 6).as("bullet_frac"),
+        round(TextAnalysis.ellipsisLineFraction(page), 6).as("ellipsis_frac"),
+        round(TextAnalysis.alphaWordFraction(page), 6).as("alpha_frac"),
+        TextAnalysis.gopherStopHits(page).cast("long").as("stop_hits"),
+        TextAnalysis.gopherKeep(page, minWords = 20).as("keep"))
     },
 
     // ---------------------------------------------------------- matching
@@ -921,6 +987,16 @@ object SparkEntry {
     "ann_ivf_top1" ->
       "SELECT CAST(vec_id+100000 AS BIGINT) AS query_id, vec_id AS neighbor_id FROM embeddings WHERE vec_id%20=0",
 
+    // true brute-force recompute: survivors = corpus rows with NO
+    // reference embedding at cosine >= 0.99 (the reference set is the
+    // %20 rows themselves, so the boundary cases are exact-1.0 twins)
+    "decon_embedding" ->
+      """SELECT e.vec_id FROM embeddings e
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM embeddings r
+        |  WHERE r.vec_id % 20 = 0
+        |    AND list_cosine_similarity(e.embedding, r.embedding) >= 0.99)""".stripMargin,
+
     "text_stats" ->
       s"""WITH $toksCte,
          |c AS (SELECT t.id AS doc_id, ts, d.text FROM t JOIN documents d ON t.id = d.doc_id)
@@ -990,9 +1066,64 @@ object SparkEntry {
         |WHERE NOT contains(lower(page), 'lorem ipsum') AND NOT contains(page, '{')
         |  AND len(regexp_extract_all(text, '[.!?]')) >= 3""".stripMargin,
 
+    // the IDENTICAL Gopher §A1.1 rules: same page construction, same
+    // tokenization (normalize-then-split), same per-rule bounds; keep
+    // is recomputed from the UNROUNDED signals exactly as the engine
+    // evaluates it
+    "text_gopher" ->
+      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |pg AS (SELECT doc_id, concat_ws(chr(10),
+        |    array_to_string(w[1:12], ' '),
+        |    CASE WHEN doc_id % 4 = 0 THEN '• ' || array_to_string(w[2:5], ' ') END,
+        |    CASE WHEN doc_id % 4 = 0 THEN '- a bullet item' END,
+        |    CASE WHEN doc_id % 5 = 0 THEN array_to_string(w[3:7], ' ') || '...' END,
+        |    CASE WHEN doc_id % 6 = 0 THEN '# # # # # #' END,
+        |    CASE WHEN doc_id % 3 = 0 THEN '111 222 333 444' END,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'the study went on with that to be of use and have more' END,
+        |    array_to_string(w[6:15], ' ')) AS page
+        |  FROM s),
+        |tok AS (SELECT doc_id, page,
+        |    string_split(trim(regexp_replace(lower(page), '\s+', ' ', 'g')), ' ') AS ts,
+        |    list_filter(string_split(page, chr(10)), l -> trim(l) <> '') AS lines
+        |  FROM pg),
+        |sig AS (SELECT doc_id,
+        |    len(ts) AS n_words,
+        |    list_sum(list_transform(ts, x -> length(x)))*1.0/len(ts) AS mean_raw,
+        |    len(regexp_extract_all(page, '#|\.\.\.|…'))*1.0/len(ts) AS symbol_raw,
+        |    len(list_filter(lines, l -> regexp_matches(trim(l), '^[•*-](\s|$)')))*1.0/len(lines) AS bullet_raw,
+        |    len(list_filter(lines, l -> regexp_matches(trim(l), '(\.\.\.|…)$')))*1.0/len(lines) AS ellipsis_raw,
+        |    len(list_filter(ts, x -> regexp_matches(x, '[a-z]')))*1.0/len(ts) AS alpha_raw,
+        |    CAST(CASE WHEN list_contains(ts,'the') THEN 1 ELSE 0 END
+        |       + CASE WHEN list_contains(ts,'be') THEN 1 ELSE 0 END
+        |       + CASE WHEN list_contains(ts,'to') THEN 1 ELSE 0 END
+        |       + CASE WHEN list_contains(ts,'of') THEN 1 ELSE 0 END
+        |       + CASE WHEN list_contains(ts,'and') THEN 1 ELSE 0 END
+        |       + CASE WHEN list_contains(ts,'that') THEN 1 ELSE 0 END
+        |       + CASE WHEN list_contains(ts,'have') THEN 1 ELSE 0 END
+        |       + CASE WHEN list_contains(ts,'with') THEN 1 ELSE 0 END AS BIGINT) AS stop_hits
+        |  FROM tok)
+        |SELECT doc_id, n_words,
+        |  round(mean_raw, 6) AS mean_word_len,
+        |  round(symbol_raw, 6) AS symbol_ratio,
+        |  round(bullet_raw, 6) AS bullet_frac,
+        |  round(ellipsis_raw, 6) AS ellipsis_frac,
+        |  round(alpha_raw, 6) AS alpha_frac,
+        |  stop_hits,
+        |  (n_words >= 20 AND n_words <= 100000
+        |   AND mean_raw >= 3.0 AND mean_raw <= 10.0
+        |   AND symbol_raw < 0.1 AND bullet_raw < 0.9 AND ellipsis_raw < 0.3
+        |   AND alpha_raw >= 0.8 AND stop_hits >= 2) AS keep
+        |FROM sig""".stripMargin,
+
     // closed-form: the messy batch rows canonicalize to seen base urls
     // and drop; only the /new/ rows survive
     "web_new_urls" ->
+      """SELECT doc_id*2+1 AS page_id,
+        |       'http://site' || (doc_id % 7) || '.com/new/' || doc_id AS url
+        |FROM documents""".stripMargin,
+
+    // same closed form: exact semantics through the bloom-pruned path
+    "web_new_urls_bloom" ->
       """SELECT doc_id*2+1 AS page_id,
         |       'http://site' || (doc_id % 7) || '.com/new/' || doc_id AS url
         |FROM documents""".stripMargin,

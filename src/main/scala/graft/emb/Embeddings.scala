@@ -161,6 +161,74 @@ object Embeddings {
     scored.withColumn("rank", row_number().over(w)).where($"rank" <= k)
   }
 
+  /** Embedding-space contamination report: every (corpus doc,
+    * reference doc) pair with cosine >= threshold — the SEMANTIC form
+    * of cross-corpus decontamination (a paraphrased eval question
+    * shares no exact 13-gram and may fall below a lexical-Jaccard
+    * threshold, but its embedding sits next to the eval doc's). The
+    * third decontamination method alongside the lexical two in
+    * [[graft.dedup.Dedup]] (banded-MinHash `contaminationPairs`, exact
+    * n-gram `ngramContamination`).
+    *
+    * Scale shape — the corpus NEVER crosses a shuffle: the reference
+    * (an eval set: thousands of rows, not billions) broadcasts twice
+    * (band entries, then vectors); the corpus side is one map-only
+    * projection (signature -> band explode, vector riding along — no
+    * network, the explode only multiplies in-core row width by
+    * `bands`) -> broadcast-hash join -> inline cosine verify ->
+    * threshold filter. The only shuffle is the `dropDuplicates` over
+    * SURVIVING pairs (bounded by true contamination, not candidates).
+    *
+    * Output columns: (_cid = long corpus id, _rid = long reference id,
+    * sim) — internal names, collision-proof for idCol == refIdCol.
+    * Recall contract: identical and near-identical vectors share every
+    * band, so at thresholds near 1 candidate recall is exact; at lower
+    * thresholds recall follows the (bits, bands) dial exactly as in
+    * [[lshTopK]].
+    */
+  def embeddingContamination(corpus: DataFrame, idCol: String, vecCol: String,
+      reference: DataFrame, refIdCol: String, refVecCol: String,
+      threshold: Double, bits: Int = 16, bands: Int = 4, dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    require(bits % bands == 0, "bits must divide into bands")
+    val planes = hyperplanes(dim, bits, seed)
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    val sig = rhpSignature(dimChecked(col(vecCol), dim), planes)
+    val entries: Seq[Column] = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(sig, b * width).bitwiseAND(lit(mask)).as("bv"))
+    }
+    val cB = corpus.select(col(idCol).cast("long").as("_cid"),
+        col(vecCol).as("_cv"), explode(array(entries: _*)).as("e"))
+      .select($"_cid", $"_cv", $"e.band".as("band"), $"e.bv".as("bv"))
+    val rB = bandEntries(reference, refIdCol, "_rid", refVecCol,
+      planes, bands, width, dim)
+    val rV = reference.select(col(refIdCol).cast("long").as("_rid"),
+      col(refVecCol).as("_rv"))
+    cB.join(broadcast(rB), Seq("band", "bv"))
+      .join(broadcast(rV), "_rid")
+      .select($"_cid", $"_rid", cosine($"_cv", $"_rv").as("sim"))
+      .where($"sim" >= threshold)
+      .dropDuplicates("_cid", "_rid")
+  }
+
+  /** The embedding-deconned corpus: every input column, minus
+    * documents within cosine `threshold` of any reference embedding.
+    * Anti-join key is the long-cast id; safe for idCol == refIdCol
+    * (internal names carry the pair table).
+    */
+  def embeddingDecontaminate(corpus: DataFrame, idCol: String, vecCol: String,
+      reference: DataFrame, refIdCol: String, refVecCol: String,
+      threshold: Double, bits: Int = 16, bands: Int = 4, dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val bad = embeddingContamination(corpus, idCol, vecCol,
+        reference, refIdCol, refVecCol, threshold, bits, bands, dim, seed)
+      .select($"_cid".as(idCol)).distinct()
+    corpus.withColumn(idCol, col(idCol).cast("long"))
+      .join(bad, Seq(idCol), "left_anti")
+  }
+
   /** Embedding near-dup pairs: all (id1 < id2) with cosine >= threshold,
     * via LSH buckets (identical/near-identical vectors share all bands).
     * Candidates carry ids only; vectors join back at verify.

@@ -189,4 +189,103 @@ object TextAnalysis {
     df.where(c4PageKeep(col(textCol), cleaned, minSentences))
       .withColumn(textCol, cleaned)
   }
+
+  // ---------------------------------------------------- Gopher doc rules
+  // The document-level Gopher quality rules (Rae et al. 2021, "Scaling
+  // Language Models: ...", §A1.1) — the second standard heuristic pass
+  // (after C4's line rules) a pretraining pipeline applies before
+  // dedup: word-count band, mean-word-length band, symbol-to-word
+  // ratio, bullet-/ellipsis-line fractions, alphabetic-word fraction,
+  // and a required-stopword floor. ASCII-bounded compat: the symbol
+  // set is '#' and the ASCII ellipsis "..." plus U+2026, bullets are
+  // '•', '-', '*' — regexes stay in the shared Java-regex/RE2 subset
+  // so the DuckDB oracle (`text_gopher`) applies IDENTICAL rules.
+  // Everything is codegen'd Column algebra over split arrays; applied
+  // as a filter it is a pure map stage that fuses into the scan.
+
+  /** The Gopher required-stopword list (§A1.1: a page must contain at
+    * least two of these to pass the "stop word" rule).
+    */
+  val gopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** '#'-or-ellipsis occurrences per word (0 for empty docs). Counts
+    * are non-overlapping regex matches, identical in Java and RE2.
+    */
+  def symbolToWordRatio(text: Column): Column = {
+    val n = wsTokenCount(Normalizers.normalizeString(text))
+    val symbols = size(regexp_extract_all(text, lit("#|\\.\\.\\.|…"), lit(0)))
+    when(n === 0, 0.0).otherwise(symbols.cast("double") / n.cast("double"))
+  }
+
+  /** Non-blank `\n` lines of a doc (same line contract as
+    * [[dupLineFraction]] / [[graft.dedup.LineDedup]]).
+    */
+  private def nonBlankLines(text: Column): Column =
+    filter(split(text, "\n", -1), l => trim(l) =!= "")
+
+  /** Fraction of non-blank lines that START with a bullet marker
+    * ('•', '-', '*' followed by whitespace-or-end). 0 for no lines.
+    */
+  def bulletLineFraction(text: Column): Column = {
+    val lines = nonBlankLines(text)
+    val hits = size(filter(lines, l => trim(l).rlike("^[•*-](\\s|$)")))
+    when(size(lines) === 0, 0.0)
+      .otherwise(hits.cast("double") / size(lines).cast("double"))
+  }
+
+  /** Fraction of non-blank lines that END with an ellipsis ("..." or
+    * U+2026). 0 for no lines.
+    */
+  def ellipsisLineFraction(text: Column): Column = {
+    val lines = nonBlankLines(text)
+    val hits = size(filter(lines, l => trim(l).rlike("(\\.\\.\\.|…)$")))
+    when(size(lines) === 0, 0.0)
+      .otherwise(hits.cast("double") / size(lines).cast("double"))
+  }
+
+  /** Fraction of whitespace tokens containing at least one ASCII
+    * alphabetic character (Gopher: >= 0.8 required). 0 for empty.
+    */
+  def alphaWordFraction(text: Column): Column = {
+    val toks = ws_tokens(Normalizers.normalizeString(text))
+    when(size(toks) === 0, 0.0)
+      .otherwise(size(filter(toks, t => t.rlike("[a-z]"))).cast("double") /
+        size(toks).cast("double"))
+  }
+
+  /** Number of DISTINCT [[gopherStops]] present as whole tokens of the
+    * normalized text (Gopher: >= 2 required).
+    */
+  def gopherStopHits(text: Column): Column = {
+    val toks = ws_tokens(Normalizers.normalizeString(text))
+    gopherStops.map(s => when(array_contains(toks, s), 1).otherwise(0))
+      .reduce(_ + _)
+  }
+
+  /** The full Gopher §A1.1 document keep predicate. Bounds are the
+    * published defaults; `minWords` is a parameter because the 50-word
+    * floor is corpus-dependent (Gopher tuned it for full web pages).
+    */
+  def gopherKeep(text: Column, minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
+      maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8,
+      minStopHits: Int = 2): Column = {
+    val n = wsTokenCount(Normalizers.normalizeString(text))
+    val mean = meanTokenLen(text)
+    n.geq(minWords) && n.leq(maxWords) &&
+      mean.geq(minMeanWordLen) && mean.leq(maxMeanWordLen) &&
+      symbolToWordRatio(text) < maxSymbolRatio &&
+      bulletLineFraction(text) < maxBulletFrac &&
+      ellipsisLineFraction(text) < maxEllipsisFrac &&
+      alphaWordFraction(text).geq(minAlphaFrac) &&
+      gopherStopHits(text).geq(minStopHits)
+  }
+
+  /** Drop documents failing [[gopherKeep]]; all columns ride through.
+    * One codegen'd filter — no shuffle, no UDF.
+    */
+  def gopherFilter(df: DataFrame, textCol: String, minWords: Int = 50): DataFrame =
+    df.where(gopherKeep(col(textCol), minWords = minWords))
 }

@@ -102,6 +102,31 @@ class EmbeddingsSpec extends AnyFunSuite {
     assert(wh3.buildCount == 2, "changed input must rebuild the index")
   }
 
+  test("embedding decontamination: twins and near-twins drop, rest survive; same-name ids safe") {
+    // corpus doc 1 == ref vector (cosine 1.0); doc 2 is a tiny angular
+    // perturbation of it (cosine > 0.99); docs 3/4 are orthogonal-ish
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.01f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Seq(0.0f, 0.0f, 1.0f, 1.0f))
+    ).toDF("doc_id", "embedding")
+    val ref = Seq((100L, Seq(2.0f, 0.0f, 0.0f, 0.0f))) // scaled: cosine ignores norm
+      .toDF("doc_id", "embedding")
+    val pairs = Embeddings.embeddingContamination(corpus, "doc_id", "embedding",
+        ref, "doc_id", "embedding", 0.99, bits = 16, bands = 4, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 100L), (2L, 100L)))
+    val survivors = Embeddings.embeddingDecontaminate(corpus, "doc_id", "embedding",
+        ref, "doc_id", "embedding", 0.99, bits = 16, bands = 4, dim = 4)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(survivors == Set(3L, 4L))
+    // every corpus column rides through the anti-join
+    assert(Embeddings.embeddingDecontaminate(corpus, "doc_id", "embedding",
+      ref, "doc_id", "embedding", 0.99, bits = 16, bands = 4, dim = 4)
+      .columns.toSeq == Seq("doc_id", "embedding"))
+  }
+
   test("brute-force top-k ranks deterministically with id tie-break") {
     val corpus = Seq(
       (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)),

@@ -45,4 +45,43 @@ class NewUrlsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
       s"expected a broadcast semi-join in:\n$plan")
   }
+
+  // ------------------------------------------------- bloom scale path
+
+  test("bloom probe: no false negatives over every inserted canonical url") {
+    val bloom = graft.web.Frontier.urlBloom(base, "url", expectedItems = 100)
+    val probed = base.select(graft.norm.Normalizers.normalizeUrl($"url").as("u"))
+      .where(graft.web.Frontier.mightContain($"u", bloom))
+    assert(probed.count() == base.count())
+  }
+
+  test("bloom-pruned frontier equals the exact filter (incl. messy canonical forms)") {
+    val bloom = graft.web.Frontier.urlBloom(base, "url", expectedItems = 100)
+    val exact = Dedup.newUrls(batch, base, "url")
+      .select($"page_id").as[Long].collect().toSet
+    val viaBloom = graft.web.Frontier.newUrlsBloom(batch, base, "url", bloom)
+      .select($"page_id").as[Long].collect().toSet
+    assert(viaBloom == exact && exact == Set(11L, 12L))
+    assert(graft.web.Frontier.newUrlsBloom(batch, base, "url", bloom)
+      .columns.toSeq == Seq("page_id", "url"))
+    // shuffle-fallback confirm path: identical survivors
+    val fallback = graft.web.Frontier
+      .newUrlsBloom(batch, base, "url", bloom, maxBroadcast = 0L)
+      .select($"page_id").as[Long].collect().toSet
+    assert(fallback == exact)
+  }
+
+  test("committed bloom: built once, resumed from the warehouse, invalidated on fingerprint change") {
+    val root = java.nio.file.Files.createTempDirectory("bloomwh").toString
+    val wh1 = new graft.io.Warehouse(root, spark)
+    val b1 = graft.web.Frontier.committedUrlBloom(wh1, base, "url", 100, "fp1")
+    assert(wh1.buildCount == 1)
+    val wh2 = new graft.io.Warehouse(root, spark)
+    val b2 = graft.web.Frontier.committedUrlBloom(wh2, base, "url", 100, "fp1")
+    assert(wh2.buildCount == 0, "same fingerprint must resume the artifact")
+    assert(java.util.Arrays.equals(b1, b2))
+    val wh3 = new graft.io.Warehouse(root, spark)
+    graft.web.Frontier.committedUrlBloom(wh3, base.limit(1), "url", 100, "fp2")
+    assert(wh3.buildCount == 1, "changed fingerprint must rebuild")
+  }
 }
