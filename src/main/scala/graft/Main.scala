@@ -127,9 +127,15 @@ object Main {
         // c4_filter: true — the C4 heuristic quality pass runs FIRST
         // (drop junk lines, kill junk pages), then boilerplate line
         // dedup, then clustering: the standard crawl pipeline order
-        val withText0 = if (!cc.c4Filter) withTextRaw
+        val withTextC4 = if (!cc.c4Filter) withTextRaw
           else graft.text.TextAnalysis.c4Filter(withTextRaw, "_cluster_text",
             cc.c4MinLineWords, cc.c4MinSentences)
+        // gopher_filter: true — the document-level Gopher §A1.1 rules
+        // run after C4's line rules (same order as a real pipeline:
+        // clean lines first, then judge the surviving document)
+        val withText0 = if (!cc.gopherFilter) withTextC4
+          else graft.text.TextAnalysis.gopherFilter(withTextC4, "_cluster_text",
+            minWords = cc.gopherMinWords)
         // line_dedup: true — strip corpus-wide boilerplate lines from
         // the cluster text (shared nav/footer lines otherwise make
         // unrelated pages near-dups)

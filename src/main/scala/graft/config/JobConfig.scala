@@ -98,6 +98,16 @@ final case class ClusterSettings(
     c4Filter: Boolean = false,
     c4MinLineWords: Int = 5,
     c4MinSentences: Int = 3,
+    /** run the Gopher §A1.1 document-level quality rules after the C4
+      * line rules (word-count band, mean-word-length band,
+      * symbol-to-word ratio, bullet/ellipsis line fractions,
+      * alpha-word fraction, required-stopword floor).
+      * `gopher_min_words` sets the word floor (Gopher's published 50
+      * assumes full web pages). Training-data surface, no reference
+      * analogue.
+      */
+    gopherFilter: Boolean = false,
+    gopherMinWords: Int = 50,
     /** decontaminate-mode method: "minhash" (whole-document near-dup
       * vs the eval set, the default) or "ngram" (GPT-3-style exact
       * word n-gram collision — catches a short eval snippet EMBEDDED
@@ -273,6 +283,8 @@ object JobConfig {
       c4Filter = boolOr(n, "c4_filter", false),
       c4MinLineWords = intOr(n, "c4_min_line_words", 5),
       c4MinSentences = intOr(n, "c4_min_sentences", 3),
+      gopherFilter = boolOr(n, "gopher_filter", false),
+      gopherMinWords = intOr(n, "gopher_min_words", 50),
       deconMethod = {
         val m = textOr(n, "decon_method", "minhash")
         if (m != "minhash" && m != "ngram")

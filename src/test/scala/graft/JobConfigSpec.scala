@@ -186,6 +186,31 @@ class JobConfigSpec extends AnyFunSuite {
     assert(clusters == 1L)
   }
 
+  test("clustering gopher_filter: true drops low-quality docs before clustering") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("gophercfg")
+    val src = dir.resolve("docs.parquet").toString
+    // passes every Gopher rule at gopher_min_words=10
+    val good = "the quick brown fox jumps over the lazy dog and that was it to be of note with zeal"
+    Seq((1L, good), (2L, good + " extra tail"),
+      (3L, "• one\n• two\n• three"),              // all-bullet page: dropped
+      (4L, "zebra quokka wombat ibis lemur gecko owl puma lynx orca newt koala")) // no stopwords
+      .toDF("id", "text").write.parquet(src)
+    val out = dir.resolve("clusters.parquet").toString
+    val cfgPath = dir.resolve("cfg.json")
+    java.nio.file.Files.writeString(cfgPath,
+      s"""{"mode": "clustering", "source1": "$src", "output": "$out",
+         | "cluster_config": {"threshold": 0.5, "gopher_filter": true,
+         |   "gopher_min_words": 10,
+         |   "columns": [{"source1": "text", "weight": 1.0}]}}""".stripMargin)
+    Main.runConfig(spark, cfgPath.toString)
+    val got = spark.read.parquet(out)
+    val ids = got.select("id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L), s"low-quality pages must drop before clustering, got $ids")
+    assert(got.select("cluster_id").distinct().count() == 1L)
+  }
+
   test("clustering canonical: true writes the survivor corpus next to the clusters") {
     val spark = SparkTestBase.spark
     import spark.implicits._
