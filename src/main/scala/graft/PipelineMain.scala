@@ -12,7 +12,7 @@ import graft.io.{Sources, Warehouse}
   *     --input pages.parquet --warehouse /wh \
   *     [--threshold 0.8] [--candidate-mode star] [--max-band-bucket 1000] \
   *     [--simhash-radius 2] [--span-min-span 64] \
-  *     [--batch newpages.parquet --gen 1] \
+  *     [--batch newpages.parquet --gen 1 [--frontier]] \
   *     [--output clusters.parquet] [--summary] [--canonical]
   *
   * Without --batch: full `WebDedup.run` (resumable — rerunning after a
@@ -59,8 +59,28 @@ object PipelineMain {
     val wh = new Warehouse(opts("warehouse"), spark)
     val clusters = opts.get("batch") match {
       case Some(batchPath) =>
-        val batch = Sources.read(spark, graft.config.SourceSpec(path = Some(batchPath)))
-        WebDedup.addBatch(batch, wh, cfg, gen = opts.getOrElse("gen", "1").toInt)
+        val gen = opts.getOrElse("gen", "1").toInt
+        val batch0 = Sources.read(spark, graft.config.SourceSpec(path = Some(batchPath)))
+        // --frontier: drop batch pages whose canonical url the base
+        // generation already holds, BEFORE signing/probing them — the
+        // crawl-frontier pass. Seen set = the committed base cluster
+        // table's urls; the bloom artifact commits alongside it (keyed
+        // to the base snapshot, so a regrown base rebuilds the bloom)
+        // and each snapshot then pays one map-only probe + an exact
+        // confirm of bloom-positives only (Frontier scaladoc).
+        val batch =
+          if (!opts.contains("frontier")) batch0
+          else {
+            val baseClustersN = if (gen <= 1) "clusters" else s"clusters_g${gen - 1}"
+            val baseId = wh.snapshotOf(baseClustersN).getOrElse(sys.error(
+              s"--frontier needs the base generation committed under ${wh.root}"))
+            val base = wh.read(baseClustersN)
+            val bloom = graft.web.Frontier.committedUrlBloom(wh, base, "url",
+              expectedItems = math.max(base.count(), 1000L),
+              fingerprint = "urls_" + baseId)
+            graft.web.Frontier.newUrlsBloom(batch0, base, "url", bloom)
+          }
+        WebDedup.addBatch(batch, wh, cfg, gen = gen)
       case None =>
         val pages = Sources.read(spark, graft.config.SourceSpec(path = Some(opts("input"))))
         WebDedup.run(pages, wh, cfg, canonical = opts.contains("canonical"))
@@ -85,7 +105,7 @@ object PipelineMain {
       s"${wh.buildCount} stages built (rest resumed from ${wh.root})$canonicalNote")
   }
 
-  private val flags = Set("summary", "exact-verify", "canonical")
+  private val flags = Set("summary", "exact-verify", "canonical", "frontier")
 
   private def parse(args: List[String]): Map[String, String] = {
     def loop(rest: List[String], acc: Map[String, String]): Map[String, String] = rest match {
@@ -98,7 +118,8 @@ object PipelineMain {
     val m = loop(args, Map.empty)
     require(m.contains("warehouse") && (m.contains("input") || m.contains("batch")),
       "usage: graft.PipelineMain --input pages.parquet --warehouse /wh " +
-        "[--batch new.parquet --gen 1] [--threshold T] [--candidate-mode pairs|star] " +
+        "[--batch new.parquet --gen 1 [--frontier]] [--threshold T] " +
+        "[--candidate-mode pairs|star] " +
         "[--max-band-bucket N] [--simhash-radius R] [--span-min-span N] " +
         "[--output PATH] [--summary] [--exact-verify] [--canonical]")
     m

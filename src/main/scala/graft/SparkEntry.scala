@@ -243,6 +243,18 @@ object SparkEntry {
         .select($"page_id".cast("long").as("page_id"), $"url")
     },
 
+    "web_mix_report" -> { (s, dir) =>
+      // corpus mixture report per (source, lang) — docs/tokens/chars
+      // and each measure's corpus share, straight off the documents
+      // table's real source and lang columns
+      graft.web.DomainStats.mixReport(
+        t(s, dir, "documents"), "text", Seq("source", "lang"))
+    },
+
+    "dedup_threshold_sweep" -> { (s, dir) =>
+      Dedup.thresholdSweep(t(s, dir, "documents"), "doc_id", "text", n = 5)
+    },
+
     "web_domain_report" -> { (s, dir) =>
       // per-domain dup-rate report: each doc contributes a canonical
       // and a messy variant of the same URL (normalize-identical, so
@@ -460,6 +472,19 @@ object SparkEntry {
         when($"doc_id" % 5 === 0, lit("broken { markup")),
         when($"doc_id" % 7 === 0, lit("see the classic Lorem Ipsum passage.")))
       TextAnalysis.c4Filter(d.select($"doc_id", page.as("text")), "text")
+    },
+
+    "text_entropy" -> { (s, dir) =>
+      // char-entropy quality signal over the real corpus text plus a
+      // degenerate stuck-key page (entropy exactly 0) and a two-char
+      // alternation (exactly 1 bit)
+      val d = t(s, dir, "documents")
+      val probe = when($"doc_id" % 3 === 0, lit("aaaaaaaaaa"))
+        .when($"doc_id" % 3 === 1, lit("ababababab"))
+        .otherwise($"text")
+      d.select($"doc_id",
+        round(TextAnalysis.charEntropy($"text"), 6).as("ent_text"),
+        round(TextAnalysis.charEntropy(probe), 6).as("ent_probe"))
     },
 
     "text_gopher" -> { (s, dir) =>
@@ -1066,6 +1091,31 @@ object SparkEntry {
         |WHERE NOT contains(lower(page), 'lorem ipsum') AND NOT contains(page, '{')
         |  AND len(regexp_extract_all(text, '[.!?]')) >= 3""".stripMargin,
 
+    // identical fold: sorted integer counts, left fold, 0.0 - sum
+    "text_entropy" ->
+      """WITH src AS (SELECT doc_id,
+        |    text,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'aaaaaaaaaa'
+        |         WHEN doc_id % 3 = 1 THEN 'ababababab'
+        |         ELSE text END AS probe
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    regexp_extract_all(text, '[^' || chr(10) || ']') AS gt,
+        |    regexp_extract_all(probe, '[^' || chr(10) || ']') AS gp
+        |  FROM src),
+        |c AS (SELECT doc_id, gt, gp,
+        |    list_sort(list_transform(list_distinct(gt), c -> len(list_filter(gt, x -> x = c)))) AS ct,
+        |    list_sort(list_transform(list_distinct(gp), c -> len(list_filter(gp, x -> x = c)))) AS cp
+        |  FROM g)
+        |SELECT doc_id,
+        |  round(CASE WHEN len(gt) = 0 THEN 0.0
+        |    ELSE 0.0 - list_reduce(list_prepend(0.0, list_transform(ct,
+        |      c -> (c*1.0/len(gt)) * log2(c*1.0/len(gt)))), (a, b) -> a + b) END, 6) AS ent_text,
+        |  round(CASE WHEN len(gp) = 0 THEN 0.0
+        |    ELSE 0.0 - list_reduce(list_prepend(0.0, list_transform(cp,
+        |      c -> (c*1.0/len(gp)) * log2(c*1.0/len(gp)))), (a, b) -> a + b) END, 6) AS ent_probe
+        |FROM c""".stripMargin,
+
     // the IDENTICAL Gopher §A1.1 rules: same page construction, same
     // tokenization (normalize-then-split), same per-rule bounds; keep
     // is recomputed from the UNROUNDED signals exactly as the engine
@@ -1127,6 +1177,34 @@ object SparkEntry {
       """SELECT doc_id*2+1 AS page_id,
         |       'http://site' || (doc_id % 7) || '.com/new/' || doc_id AS url
         |FROM documents""".stripMargin,
+
+    "web_mix_report" ->
+      s"""WITH $toksCte,
+         |pg AS (SELECT d.source, d.lang, len(t.ts) AS toks, length(d.text) AS chars
+         |       FROM documents d JOIN t ON t.id = d.doc_id),
+         |a AS (SELECT source, lang, count(*) AS docs,
+         |        CAST(sum(toks) AS BIGINT) AS tokens, CAST(sum(chars) AS BIGINT) AS chars
+         |      FROM pg GROUP BY 1, 2)
+         |SELECT source, lang, docs, tokens, chars,
+         |  round(docs*1.0/(SELECT sum(docs) FROM a), 6) AS doc_share,
+         |  round(tokens*1.0/(SELECT sum(tokens) FROM a), 6) AS token_share,
+         |  round(chars*1.0/(SELECT sum(chars) FROM a), 6) AS char_share
+         |FROM a""".stripMargin,
+
+    // same one-pass semantics recomputed relationally: pairs at the
+    // floor threshold fan out to every threshold they pass; pairs =
+    // sum(per-id contributions)/2, docs = ids in >= 1 passing pair
+    "dedup_threshold_sweep" ->
+      s"""WITH ${jaccardCtes(5)},
+         |th AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold),
+         |e AS (SELECT th.threshold, unnest([pj.i, pj.j]) AS id
+         |      FROM th JOIN pj ON pj.jac >= th.threshold),
+         |gcnt AS (SELECT threshold, id, count(*) AS cnt FROM e GROUP BY 1, 2),
+         |a AS (SELECT threshold, CAST(count(*) AS BIGINT) AS docs,
+         |        CAST(sum(cnt)/2 AS BIGINT) AS pairs
+         |      FROM gcnt GROUP BY 1)
+         |SELECT th.threshold, coalesce(a.pairs, 0) AS pairs, coalesce(a.docs, 0) AS docs
+         |FROM th LEFT JOIN a USING (threshold)""".stripMargin,
 
     "web_domain_report" ->
       """WITH base AS (SELECT doc_id % 7 AS k, length(text) AS tl FROM documents)

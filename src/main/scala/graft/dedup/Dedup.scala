@@ -1167,4 +1167,44 @@ object Dedup {
         ($"inter".cast("double") / ($"n1" + $"n2" - $"inter").cast("double")).as("jaccard"))
       .where($"jaccard" >= threshold)
   }
+
+  /** Threshold sweep — near-dup pair and affected-doc counts at every
+    * candidate threshold in ONE pass over the pair table: the report a
+    * pipeline reads to pick its dedup threshold (too low merges
+    * topically-similar pages; too high leaves templated near-dups in).
+    *
+    * Shape: pairs are computed once at min(thresholds); each surviving
+    * pair fans out to the thresholds it passes (explode over a
+    * filtered literal array — bounded by |thresholds|), then ONE
+    * two-level aggregation yields both metrics: group by (threshold,
+    * id) counts each doc once and sums pair-contributions (each pair
+    * contributes exactly 2 id-rows, so pairs = sum/2) — no second scan
+    * of the corpus or the pair table, no distinct over exploded rows.
+    * Thresholds with zero pairs still appear (zero-filled join against
+    * the threshold list).
+    *
+    * @return (threshold, pairs, docs) — docs = documents in >= 1
+    *         passing pair.
+    */
+  def thresholdSweep(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, thresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9)): DataFrame = {
+    require(thresholds.nonEmpty, "thresholdSweep needs at least one threshold")
+    val ths = thresholds.distinct.sorted
+    val thArray = array(ths.map(lit): _*)
+    val pairs = ngramJaccardPairs(df, idCol, textCol, n, ths.head)
+    val contrib = pairs
+      .select(explode(filter(thArray, t => $"jaccard" >= t)).as("threshold"),
+        $"id1", $"id2")
+      .select($"threshold", explode(array($"id1", $"id2")).as("id"))
+      .groupBy($"threshold", $"id").agg(count(lit(1)).as("_cnt"))
+      .groupBy($"threshold").agg(
+        count(lit(1)).as("docs"),
+        (sum($"_cnt") / 2).cast("long").as("pairs"))
+    df.sparkSession.range(1)
+      .select(explode(thArray).as("threshold"))
+      .join(contrib, Seq("threshold"), "left")
+      .select($"threshold",
+        coalesce($"pairs", lit(0L)).as("pairs"),
+        coalesce($"docs", lit(0L)).as("docs"))
+  }
 }

@@ -190,6 +190,32 @@ object TextAnalysis {
       .withColumn(textCol, cleaned)
   }
 
+  /** Shannon entropy (bits per character) over the document's
+    * characters — the cheap stand-in for an LM-perplexity quality
+    * signal: near-zero for stuck-key/repeated-char junk, ~4.1 for
+    * English prose, ~6+ for random base64-ish noise; pipelines band
+    * it from both sides. Newlines excluded (`[^\n]` — the one char
+    * class Java regex and RE2 treat identically for this purpose).
+    *
+    * Cross-engine determinism: entropy is a float SUM, and float
+    * addition is order-sensitive, so the fold runs over the SORTED
+    * integer count array (ascending) — both engines then add the
+    * identical term sequence; `0.0 - sum` (not negate) keeps the
+    * all-same-char doc at +0.0 on both sides. O(distinct·n) per doc,
+    * map-only, fuses into the scan.
+    */
+  def charEntropy(text: Column): Column = {
+    val g = regexp_extract_all(text, lit("[^\n]"), lit(0))
+    val n = size(g)
+    val counts = sort_array(transform(array_distinct(g),
+      c => size(filter(g, x => x === c))))
+    when(n === 0, 0.0).otherwise(
+      lit(0.0) - aggregate(counts, lit(0.0), (acc, c) => {
+        val p = c.cast("double") / n.cast("double")
+        acc + p * log2(p)
+      }))
+  }
+
   // ---------------------------------------------------- Gopher doc rules
   // The document-level Gopher quality rules (Rae et al. 2021, "Scaling
   // Language Models: ...", §A1.1) — the second standard heuristic pass

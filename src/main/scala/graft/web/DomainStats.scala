@@ -48,4 +48,37 @@ object DomainStats {
           .as("dup_fraction"),
         round(avg($"_len"), 6).as("mean_text_len"))
   }
+
+  /** Corpus mixture report — the table a pretraining data recipe is
+    * written against: per (grouping columns, e.g. source x lang) docs,
+    * whitespace tokens, characters, and each measure's share of the
+    * corpus total. Token counts drive mixture weights ("p% of training
+    * tokens from source X"), so the report counts tokens, not rows.
+    *
+    * Scale shape: one codegen'd projection (token/char counts fuse
+    * into the scan) + one partial-aggregated groupBy; the share
+    * denominators reuse the SAME aggregate rows via a single-row
+    * cross join (broadcast — no second corpus scan, no window over
+    * the whole table).
+    */
+  def mixReport(df: DataFrame, textCol: String, groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "mixReport needs at least one grouping column")
+    val norm = Normalizers.normalizeString(col(textCol))
+    val perGroup = df
+      .select(groupCols.map(col) :+
+        graft.text.TextAnalysis.wsTokenCount(norm).cast("long").as("_toks") :+
+        length(col(textCol)).cast("long").as("_chars"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("docs"),
+        sum($"_toks").as("tokens"),
+        sum($"_chars").as("chars"))
+    val totals = broadcast(perGroup.agg(
+      sum($"docs").as("_td"), sum($"tokens").as("_tt"), sum($"chars").as("_tc")))
+    perGroup.crossJoin(totals)
+      .select(groupCols.map(col) ++ Seq(
+        $"docs", $"tokens", $"chars",
+        round($"docs".cast("double") / $"_td", 6).as("doc_share"),
+        round($"tokens".cast("double") / $"_tt", 6).as("token_share"),
+        round($"chars".cast("double") / $"_tc", 6).as("char_share")): _*)
+  }
 }

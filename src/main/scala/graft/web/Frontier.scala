@@ -57,7 +57,7 @@ object Frontier {
     * as [[graft.dedup.WebDedup]] does for signature tables).
     */
   def committedUrlBloom(wh: Warehouse, base: DataFrame, urlCol: String,
-      expectedItems: Long, fingerprint: String, fpp: Double = 0.01): Array[Byte] = {
+      expectedItems: => Long, fingerprint: String, fpp: Double = 0.01): Array[Byte] = {
     val spark = base.sparkSession
     val df = wh.getOrCreate("url_bloom", fingerprint) {
       import spark.implicits._

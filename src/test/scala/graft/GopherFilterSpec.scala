@@ -89,6 +89,24 @@ class GopherFilterSpec extends AnyFunSuite {
       Seq("id", "text", "meta"))
   }
 
+  test("charEntropy: closed-form values, +0.0 sign, newline exclusion") {
+    val rows = Seq(
+      (1L, "aaaaaaaa"),      // one symbol -> exactly 0.0 (and +0.0, not -0.0)
+      (2L, "abababab"),      // two equiprobable symbols -> exactly 1 bit
+      (3L, "aabb\naabb"),    // newline excluded -> still 1 bit
+      (4L, ""),              // empty -> 0
+      (5L, "abcd")           // four equiprobable -> 2 bits
+    ).toDF("id", "text")
+    val got = rows.select(col("id"),
+        TextAnalysis.charEntropy(col("text")).as("e"))
+      .as[(Long, Double)].collect().toMap
+    assert(got(1L) == 0.0 && (1.0 / got(1L)) > 0, "must be +0.0")
+    assert(got(2L) == 1.0)
+    assert(got(3L) == 1.0)
+    assert(got(4L) == 0.0)
+    assert(got(5L) == 2.0)
+  }
+
   test("hyphenated words do not count as bullets") {
     // '-word' has no whitespace after the marker; only a bare '-' leads
     val text = "-lead hyphen stays\n- real bullet"
