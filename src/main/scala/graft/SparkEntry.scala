@@ -255,6 +255,22 @@ object SparkEntry {
       Dedup.thresholdSweep(t(s, dir, "documents"), "doc_id", "text", n = 5)
     },
 
+    "dedup_containment" -> { (s, dir) =>
+      // embedded-snippet detection: docs +300000 are the first 12 words
+      // of each %9 doc — containment 1.0 (every snippet shingle is in
+      // the parent) while whole-doc jaccard dilutes to ~8/|parent|;
+      // the oracle recomputes containment relationally over the same
+      // expansion, so natural corpus pairs >= 0.9 are covered too
+      val d = t(s, dir, "documents")
+      val snippet = d.where($"doc_id" % 9 === 0)
+        .select(($"doc_id" + 300000).as("doc_id"),
+          array_join(slice(split($"text", " "), 1, 12), " ").as("text"))
+      Dedup.containmentPairs(
+          d.select($"doc_id", $"text").unionAll(snippet),
+          "doc_id", "text", n = 5, threshold = 0.9)
+        .select($"id1", $"id2")
+    },
+
     "web_domain_report" -> { (s, dir) =>
       // per-domain dup-rate report: each doc contributes a canonical
       // and a messy variant of the same URL (normalize-identical, so
@@ -1177,6 +1193,24 @@ object SparkEntry {
       """SELECT doc_id*2+1 AS page_id,
         |       'http://site' || (doc_id % 7) || '.com/new/' || doc_id AS url
         |FROM documents""".stripMargin,
+
+    // containment = c / least(|A|, |B|) over the same distinct
+    // 5-shingle machinery, with the snippet expansion inlined
+    "dedup_containment" ->
+      """WITH x AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents
+        |  UNION ALL
+        |  SELECT doc_id+300000,
+        |         trim(regexp_replace(lower(array_to_string((string_split(text, ' '))[1:12], ' ')), '\s+', ' ', 'g'))
+        |  FROM documents WHERE doc_id % 9 = 0),
+        |tk AS (SELECT doc_id AS id, string_split(t, ' ') AS ts FROM x),
+        |g AS (SELECT id, unnest(list_distinct(list_transform(range(1, len(ts)-5+2), i -> array_to_string(ts[i:i+4], ' ')))) AS gr FROM tk),
+        |sz AS (SELECT id, count(*) AS n FROM g GROUP BY 1),
+        |inter AS (SELECT a.id AS i, b.id AS j, count(*) AS c
+        |          FROM g a JOIN g b ON a.gr = b.gr AND a.id < b.id GROUP BY 1, 2)
+        |SELECT i AS id1, j AS id2
+        |FROM inter JOIN sz sa ON i = sa.id JOIN sz sb ON j = sb.id
+        |WHERE c*1.0/least(sa.n, sb.n) >= 0.9""".stripMargin,
 
     "web_mix_report" ->
       s"""WITH $toksCte,

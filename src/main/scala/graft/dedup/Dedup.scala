@@ -1168,6 +1168,44 @@ object Dedup {
       .where($"jaccard" >= threshold)
   }
 
+  /** Containment near-dup pairs — Broder's containment coefficient
+    * `|A ∩ B| / min(|A|, |B|)` over distinct word n-shingle sets,
+    * instead of Jaccard's `|A ∩ B| / |A ∪ B|`. The case it exists for:
+    * a short document EMBEDDED verbatim in a long one (a quoted
+    * article inside a commentary page, a licence block inside source
+    * dumps) has containment ~1 while Jaccard dilutes toward
+    * |short|/|long| and slips under any usable threshold. Complements
+    * [[ngramContamination]] (which counts absolute shared grams
+    * cross-corpus); this is the WITHIN-corpus symmetric form.
+    *
+    * Same shuffle shape as [[ngramJaccardPairs]]: explode distinct
+    * grams -> one equi-join on the gram -> count per pair -> size
+    * join -> threshold filter. At web scale apply the same `maxGramDf`
+    * hygiene via [[ngramJaccardPairs]]' guard first if boilerplate
+    * grams dominate (kept out of this signature deliberately: a
+    * df-cap UNDERCOUNTS intersections, which containment — dividing
+    * by the SMALLER set — amplifies more than Jaccard).
+    *
+    * @return (id1, id2, containment) with id1 < id2, containment >= threshold.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val norm = ensureParallel(df.select(col(idCol).cast("long").as("id"),
+      Normalizers.normalizeString(col(textCol)).as("_t")))
+    val grams = norm.select($"id",
+      explode(array_distinct(word_shingles($"_t", n))).as("g"))
+    val sizes = grams.groupBy($"id").agg(count(lit(1)).as("n"))
+    grams.as("a").join(grams.as("b"), Seq("g"))
+      .where($"a.id" < $"b.id")
+      .groupBy($"a.id".as("id1"), $"b.id".as("id2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select($"id".as("id1"), $"n".as("n1")), "id1")
+      .join(sizes.select($"id".as("id2"), $"n".as("n2")), "id2")
+      .select($"id1", $"id2",
+        ($"inter".cast("double") / least($"n1", $"n2").cast("double")).as("containment"))
+      .where($"containment" >= threshold)
+  }
+
   /** Threshold sweep — near-dup pair and affected-doc counts at every
     * candidate threshold in ONE pass over the pair table: the report a
     * pipeline reads to pick its dedup threshold (too low merges

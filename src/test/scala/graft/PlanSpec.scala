@@ -55,6 +55,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!probeSide.contains("Repartition"), probeSide)
   }
 
+  test("embedding decontamination: corpus side joins by broadcast only (no corpus exchange before verify)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val ref = e.where(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val pairs = graft.emb.Embeddings.embeddingContamination(
+      e, "vec_id", "embedding", ref, "vec_id", "embedding", 0.99)
+    val p = plan(pairs)
+    // both reference joins (band entries, vectors) broadcast
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    // the ONLY exchanges in the plan serve the final pair dedup (and
+    // the broadcast builds); the corpus scan -> band explode -> verify
+    // path itself is exchange-free. HashAggregate-based distinct =
+    // partial + final around one shuffle.
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("bloom frontier probe stays inside whole-stage codegen") {
+    val bloom = graft.web.Frontier.urlBloom(
+      docs.select(concat(lit("http://h/"), col("doc_id")).as("url")), "url", 1000)
+    val probed = docs.select(concat(lit("http://h/"), col("doc_id")).as("url"))
+      .where(graft.web.Frontier.mightContain(col("url"), bloom))
+    val p = plan(probed)
+    assert(p.contains("*(1)") || p.contains("WholeStageCodegen"), p)
+    assert(!p.contains("Eval (fallback)"), p)
+  }
+
   test("exact-collapse aggregates map-side (partial before shuffle)") {
     val g = docs.groupBy(col("text")).agg(min(col("doc_id")))
     val p = plan(g)

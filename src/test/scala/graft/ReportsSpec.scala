@@ -30,6 +30,25 @@ class ReportsSpec extends AnyFunSuite {
     assert(math.abs(shares - 1.0) < 1e-9)
   }
 
+  test("containmentPairs: embedded snippet at containment 1.0 that jaccard misses") {
+    // parent 20 words -> 18 distinct 3-shingles; snippet = first 8
+    // words -> 6 shingles, ALL in the parent: containment 6/6 = 1.0,
+    // jaccard 6/18 = 0.33
+    val words = (1 to 20).map(i => s"w$i")
+    val docs = Seq(
+      1L -> words.mkString(" "),
+      2L -> words.take(8).mkString(" "),
+      3L -> "completely unrelated other text here now"
+    ).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text", n = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cont.map(t => (t._1, t._2)).toSet == Set((1L, 2L)))
+    assert(cont.head._3 == 1.0)
+    // whole-doc jaccard dilutes the same pair below any usable threshold
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.9)
+    assert(jac.count() == 0)
+  }
+
   test("thresholdSweep: one fixture pair per band, zero-filled tail") {
     // 3-shingle jaccard ladder: pair (1,2) at 10/11 (>= all bands up to
     // 0.9), pair (3,4) at 6/10 (0.5, 0.6 only), docs 5/6 unpaired
