@@ -67,7 +67,13 @@ object PipelineMain {
         // table's urls; the bloom artifact commits alongside it (keyed
         // to the base snapshot, so a regrown base rebuilds the bloom)
         // and each snapshot then pays one map-only probe + an exact
-        // confirm of bloom-positives only (Frontier scaladoc).
+        // confirm of bloom-positives only (Frontier scaladoc). The
+        // FILTERED batch itself is a committed stage too: addBatch
+        // consumes its dataframe several times (content snapshot,
+        // extraction stage), and a committed table turns those into
+        // cheap parquet re-scans instead of re-running the probe +
+        // confirm joins per consumer — and makes the frontier pass
+        // resumable like every other stage.
         val batch =
           if (!opts.contains("frontier")) batch0
           else {
@@ -75,10 +81,14 @@ object PipelineMain {
             val baseId = wh.snapshotOf(baseClustersN).getOrElse(sys.error(
               s"--frontier needs the base generation committed under ${wh.root}"))
             val base = wh.read(baseClustersN)
-            val bloom = graft.web.Frontier.committedUrlBloom(wh, base, "url",
-              expectedItems = math.max(base.count(), 1000L),
-              fingerprint = "urls_" + baseId)
-            graft.web.Frontier.newUrlsBloom(batch0, base, "url", bloom)
+            val frFp = "fr_" + WebDedup.inputSnapshot(batch0) + "_base" + baseId
+            wh.getOrCreate(s"frontier_batch_g$gen", frFp,
+                parent = Some(baseClustersN)) {
+              val bloom = graft.web.Frontier.committedUrlBloom(wh, base, "url",
+                expectedItems = math.max(base.count(), 1000L),
+                fingerprint = "urls_" + baseId)
+              graft.web.Frontier.newUrlsBloom(batch0, base, "url", bloom)
+            }
           }
         WebDedup.addBatch(batch, wh, cfg, gen = gen)
       case None =>

@@ -527,7 +527,8 @@ object SparkEntry {
         TextAnalysis.wsTokenCount(Normalizers.normalizeString(page))
           .cast("long").as("n_words"),
         round(TextAnalysis.meanTokenLen(page), 6).as("mean_word_len"),
-        round(TextAnalysis.symbolToWordRatio(page), 6).as("symbol_ratio"),
+        round(TextAnalysis.hashWordRatio(page), 6).as("hash_ratio"),
+        round(TextAnalysis.ellipsisWordRatio(page), 6).as("ellipsis_sym_ratio"),
         round(TextAnalysis.bulletLineFraction(page), 6).as("bullet_frac"),
         round(TextAnalysis.ellipsisLineFraction(page), 6).as("ellipsis_frac"),
         round(TextAnalysis.alphaWordFraction(page), 6).as("alpha_frac"),
@@ -1116,8 +1117,8 @@ object SparkEntry {
         |         ELSE text END AS probe
         |  FROM documents),
         |g AS (SELECT doc_id,
-        |    regexp_extract_all(text, '[^' || chr(10) || ']') AS gt,
-        |    regexp_extract_all(probe, '[^' || chr(10) || ']') AS gp
+        |    regexp_extract_all(substr(text, 1, 8192), '[^' || chr(10) || ']') AS gt,
+        |    regexp_extract_all(substr(probe, 1, 8192), '[^' || chr(10) || ']') AS gp
         |  FROM src),
         |c AS (SELECT doc_id, gt, gp,
         |    list_sort(list_transform(list_distinct(gt), c -> len(list_filter(gt, x -> x = c)))) AS ct,
@@ -1155,7 +1156,8 @@ object SparkEntry {
         |sig AS (SELECT doc_id,
         |    len(ts) AS n_words,
         |    list_sum(list_transform(ts, x -> length(x)))*1.0/len(ts) AS mean_raw,
-        |    len(regexp_extract_all(page, '#|\.\.\.|…'))*1.0/len(ts) AS symbol_raw,
+        |    len(regexp_extract_all(page, '#'))*1.0/len(ts) AS hash_raw,
+        |    len(regexp_extract_all(page, '\.\.\.|…'))*1.0/len(ts) AS esym_raw,
         |    len(list_filter(lines, l -> regexp_matches(trim(l), '^[•*-](\s|$)')))*1.0/len(lines) AS bullet_raw,
         |    len(list_filter(lines, l -> regexp_matches(trim(l), '(\.\.\.|…)$')))*1.0/len(lines) AS ellipsis_raw,
         |    len(list_filter(ts, x -> regexp_matches(x, '[a-z]')))*1.0/len(ts) AS alpha_raw,
@@ -1170,14 +1172,16 @@ object SparkEntry {
         |  FROM tok)
         |SELECT doc_id, n_words,
         |  round(mean_raw, 6) AS mean_word_len,
-        |  round(symbol_raw, 6) AS symbol_ratio,
+        |  round(hash_raw, 6) AS hash_ratio,
+        |  round(esym_raw, 6) AS ellipsis_sym_ratio,
         |  round(bullet_raw, 6) AS bullet_frac,
         |  round(ellipsis_raw, 6) AS ellipsis_frac,
         |  round(alpha_raw, 6) AS alpha_frac,
         |  stop_hits,
         |  (n_words >= 20 AND n_words <= 100000
         |   AND mean_raw >= 3.0 AND mean_raw <= 10.0
-        |   AND symbol_raw < 0.1 AND bullet_raw < 0.9 AND ellipsis_raw < 0.3
+        |   AND hash_raw <= 0.1 AND esym_raw <= 0.1
+        |   AND bullet_raw <= 0.9 AND ellipsis_raw <= 0.3
         |   AND alpha_raw >= 0.8 AND stop_hits >= 2) AS keep
         |FROM sig""".stripMargin,
 

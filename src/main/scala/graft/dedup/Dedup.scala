@@ -1130,36 +1130,60 @@ object Dedup {
     * longer surfaced (the standard document-frequency-cap tradeoff;
     * such pairs are boilerplate-only overlap by construction).
     */
-  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.5, maxGramDf: Int = 0): DataFrame = {
+  /** Exploded distinct word n-shingles per doc (id, g) and set sizes
+    * (id, n) — the shared front half of every gram-overlap operator
+    * ([[ngramJaccardPairs]], [[containmentPairs]]).
+    */
+  private def gramTable(df: DataFrame, idCol: String, textCol: String,
+      n: Int): (DataFrame, DataFrame) = {
     val norm = ensureParallel(df.select(col(idCol).cast("long").as("id"),
       Normalizers.normalizeString(col(textCol)).as("_t")))
     val grams = norm.select($"id",
       explode(array_distinct(word_shingles($"_t", n))).as("g"))
-    val sizes = grams.groupBy($"id").agg(count(lit(1)).as("n"))
-    val inter =
-      if (maxGramDf <= 0) {
-        grams.as("a").join(grams.as("b"), Seq("g"))
-          .where($"a.id" < $"b.id")
-          .groupBy($"a.id".as("id1"), $"b.id".as("id2"))
-          .agg(count(lit(1)).as("inter"))
-      } else {
-        val hot = broadcast(grams.groupBy($"g").count()
-          .where($"count" > maxGramDf).select($"g", lit(true).as("_hot")))
-        val marked = grams.join(hot, Seq("g"), "left")
-        val cold = marked.where($"_hot".isNull).select($"id", $"g")
-        val hotSets = marked.where($"_hot".isNotNull)
-          .groupBy($"id").agg(sort_array(collect_set(xxhash64($"g"))).as("hg"))
-        cold.as("a").join(cold.as("b"), Seq("g"))
-          .where($"a.id" < $"b.id")
-          .groupBy($"a.id".as("id1"), $"b.id".as("id2"))
-          .agg(count(lit(1)).as("inter_cold"))
-          .join(hotSets.select($"id".as("id1"), $"hg".as("hg1")), Seq("id1"), "left")
-          .join(hotSets.select($"id".as("id2"), $"hg".as("hg2")), Seq("id2"), "left")
-          .select($"id1", $"id2",
-            ($"inter_cold" + when($"hg1".isNull || $"hg2".isNull, 0)
-              .otherwise(size(array_intersect($"hg1", $"hg2")))).as("inter"))
-      }
+    (grams, grams.groupBy($"id").agg(count(lit(1)).as("n")))
+  }
+
+  /** Per-pair overlap statistics (id1 < id2, inter, n1, n2) from the
+    * shared-gram equi-join — the ratio layer on top picks the
+    * coefficient (Jaccard: inter/(n1+n2-inter); containment:
+    * inter/min(n1,n2)).
+    */
+  private def gramPairStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val (grams, sizes) = gramTable(df, idCol, textCol, n)
+    grams.as("a").join(grams.as("b"), Seq("g"))
+      .where($"a.id" < $"b.id")
+      .groupBy($"a.id".as("id1"), $"b.id".as("id2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select($"id".as("id1"), $"n".as("n1")), "id1")
+      .join(sizes.select($"id".as("id2"), $"n".as("n2")), "id2")
+  }
+
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5, maxGramDf: Int = 0): DataFrame = {
+    if (maxGramDf <= 0)
+      return gramPairStats(df, idCol, textCol, n)
+        .select($"id1", $"id2",
+          ($"inter".cast("double") / ($"n1" + $"n2" - $"inter").cast("double")).as("jaccard"))
+        .where($"jaccard" >= threshold)
+    val (grams, sizes) = gramTable(df, idCol, textCol, n)
+    val inter = {
+      val hot = broadcast(grams.groupBy($"g").count()
+        .where($"count" > maxGramDf).select($"g", lit(true).as("_hot")))
+      val marked = grams.join(hot, Seq("g"), "left")
+      val cold = marked.where($"_hot".isNull).select($"id", $"g")
+      val hotSets = marked.where($"_hot".isNotNull)
+        .groupBy($"id").agg(sort_array(collect_set(xxhash64($"g"))).as("hg"))
+      cold.as("a").join(cold.as("b"), Seq("g"))
+        .where($"a.id" < $"b.id")
+        .groupBy($"a.id".as("id1"), $"b.id".as("id2"))
+        .agg(count(lit(1)).as("inter_cold"))
+        .join(hotSets.select($"id".as("id1"), $"hg".as("hg1")), Seq("id1"), "left")
+        .join(hotSets.select($"id".as("id2"), $"hg".as("hg2")), Seq("id2"), "left")
+        .select($"id1", $"id2",
+          ($"inter_cold" + when($"hg1".isNull || $"hg2".isNull, 0)
+            .otherwise(size(array_intersect($"hg1", $"hg2")))).as("inter"))
+    }
     inter
       .join(sizes.select($"id".as("id1"), $"n".as("n1")), "id1")
       .join(sizes.select($"id".as("id2"), $"n".as("n2")), "id2")
@@ -1190,17 +1214,7 @@ object Dedup {
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val norm = ensureParallel(df.select(col(idCol).cast("long").as("id"),
-      Normalizers.normalizeString(col(textCol)).as("_t")))
-    val grams = norm.select($"id",
-      explode(array_distinct(word_shingles($"_t", n))).as("g"))
-    val sizes = grams.groupBy($"id").agg(count(lit(1)).as("n"))
-    grams.as("a").join(grams.as("b"), Seq("g"))
-      .where($"a.id" < $"b.id")
-      .groupBy($"a.id".as("id1"), $"b.id".as("id2"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.select($"id".as("id1"), $"n".as("n1")), "id1")
-      .join(sizes.select($"id".as("id2"), $"n".as("n2")), "id2")
+    gramPairStats(df, idCol, textCol, n)
       .select($"id1", $"id2",
         ($"inter".cast("double") / least($"n1", $"n2").cast("double")).as("containment"))
       .where($"containment" >= threshold)

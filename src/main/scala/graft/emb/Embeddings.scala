@@ -108,7 +108,7 @@ object Embeddings {
     */
   private def bandEntries(df: DataFrame, idCol: String, outId: String, vecCol: String,
       planes: Array[Array[Double]], bands: Int, width: Int, dim: Int,
-      probeFlips: Int = 0): DataFrame = {
+      probeFlips: Int = 0, carryVec: Option[String] = None): DataFrame = {
     val mask = (1L << width) - 1
     val sig = rhpSignature(dimChecked(col(vecCol), dim), planes)
     val entries: Seq[Column] = (0 until bands).flatMap { b =>
@@ -117,8 +117,14 @@ object Embeddings {
         (0 until width).map(i => base.bitwiseXOR(lit(1L << i))) else Nil)
       variants.map(v => struct(lit(b).as("band"), v.as("bv")))
     }
-    df.select(col(idCol).cast("long").as(outId), explode(array(entries: _*)).as("e"))
-      .select(col(outId), $"e.band".as("band"), $"e.bv".as("bv"))
+    // carryVec: let the vector ride the explode (ONLY sound when the
+    // downstream join is a broadcast — map-only, so the extra width is
+    // in-core, never network; see embeddingContamination)
+    val head = Seq(col(idCol).cast("long").as(outId)) ++
+      carryVec.map(a => col(vecCol).as(a))
+    df.select(head :+ explode(array(entries: _*)).as("e"): _*)
+      .select(Seq(col(outId)) ++ carryVec.map(col) ++
+        Seq($"e.band".as("band"), $"e.bv".as("bv")): _*)
   }
 
   /** LSH-bucketed ANN: band the signature into `bands` chunks;
@@ -193,15 +199,8 @@ object Embeddings {
     require(bits % bands == 0, "bits must divide into bands")
     val planes = hyperplanes(dim, bits, seed)
     val width = bits / bands
-    val mask = (1L << width) - 1
-    val sig = rhpSignature(dimChecked(col(vecCol), dim), planes)
-    val entries: Seq[Column] = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        shiftright(sig, b * width).bitwiseAND(lit(mask)).as("bv"))
-    }
-    val cB = corpus.select(col(idCol).cast("long").as("_cid"),
-        col(vecCol).as("_cv"), explode(array(entries: _*)).as("e"))
-      .select($"_cid", $"_cv", $"e.band".as("band"), $"e.bv".as("bv"))
+    val cB = bandEntries(corpus, idCol, "_cid", vecCol,
+      planes, bands, width, dim, carryVec = Some("_cv"))
     val rB = bandEntries(reference, refIdCol, "_rid", refVecCol,
       planes, bands, width, dim)
     val rV = reference.select(col(refIdCol).cast("long").as("_rid"),

@@ -201,11 +201,18 @@ object TextAnalysis {
     * addition is order-sensitive, so the fold runs over the SORTED
     * integer count array (ascending) — both engines then add the
     * identical term sequence; `0.0 - sum` (not negate) keeps the
-    * all-same-char doc at +0.0 on both sides. O(distinct·n) per doc,
-    * map-only, fuses into the scan.
+    * all-same-char doc at +0.0 on both sides.
+    *
+    * Cost: the per-distinct-char count refilters the char array —
+    * O(distinct·n) per doc. Fine for alphabetic text (distinct ≤
+    * ~100); for high-alphabet (CJK) pages distinct grows with n, so
+    * `maxChars` (default 8192) bounds the window the signal is
+    * computed over — the standard practice for per-doc signals, and
+    * 8k chars saturate the entropy estimate anyway. Map-only, fuses
+    * into the scan.
     */
-  def charEntropy(text: Column): Column = {
-    val g = regexp_extract_all(text, lit("[^\n]"), lit(0))
+  def charEntropy(text: Column, maxChars: Int = 8192): Column = {
+    val g = regexp_extract_all(substring(text, 1, maxChars), lit("[^\n]"), lit(0))
     val n = size(g)
     val counts = sort_array(transform(array_distinct(g),
       c => size(filter(g, x => x === c))))
@@ -235,14 +242,25 @@ object TextAnalysis {
   val gopherStops: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
-  /** '#'-or-ellipsis occurrences per word (0 for empty docs). Counts
-    * are non-overlapping regex matches, identical in Java and RE2.
+  /** Occurrences of `symbolPattern` per word (0 for empty docs).
+    * Gopher thresholds the hash symbol and the ellipsis SEPARATELY
+    * ("symbol-to-word ratio greater than 0.1 for either the hash
+    * symbol or ellipsis"), so [[gopherKeep]] evaluates this twice —
+    * [[hashWordRatio]] and [[ellipsisWordRatio]]. Counts are
+    * non-overlapping regex matches, identical in Java and RE2.
     */
-  def symbolToWordRatio(text: Column): Column = {
+  def symbolToWordRatio(text: Column, symbolPattern: String): Column = {
     val n = wsTokenCount(Normalizers.normalizeString(text))
-    val symbols = size(regexp_extract_all(text, lit("#|\\.\\.\\.|…"), lit(0)))
+    val symbols = size(regexp_extract_all(text, lit(symbolPattern), lit(0)))
     when(n === 0, 0.0).otherwise(symbols.cast("double") / n.cast("double"))
   }
+
+  /** '#' occurrences per word. */
+  def hashWordRatio(text: Column): Column = symbolToWordRatio(text, "#")
+
+  /** Ellipsis ("..." or U+2026) occurrences per word. */
+  def ellipsisWordRatio(text: Column): Column =
+    symbolToWordRatio(text, "\\.\\.\\.|…")
 
   /** Non-blank `\n` lines of a doc (same line contract as
     * [[dupLineFraction]] / [[graft.dedup.LineDedup]]).
@@ -290,8 +308,13 @@ object TextAnalysis {
   }
 
   /** The full Gopher §A1.1 document keep predicate. Bounds are the
-    * published defaults; `minWords` is a parameter because the 50-word
-    * floor is corpus-dependent (Gopher tuned it for full web pages).
+    * published defaults with the published directionality: the paper
+    * DROPS on "greater than" / "more than" / "less than", so a doc
+    * sitting exactly ON a bound is KEPT (`<=` / `>=` here); the hash
+    * and ellipsis symbol ratios are thresholded SEPARATELY (a page at
+    * 0.06 hash + 0.06 ellipsis passes — summing them would wrongly
+    * drop it). `minWords` is a parameter because the 50-word floor is
+    * corpus-dependent (Gopher tuned it for full web pages).
     */
   def gopherKeep(text: Column, minWords: Int = 50, maxWords: Int = 100000,
       minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
@@ -302,9 +325,10 @@ object TextAnalysis {
     val mean = meanTokenLen(text)
     n.geq(minWords) && n.leq(maxWords) &&
       mean.geq(minMeanWordLen) && mean.leq(maxMeanWordLen) &&
-      symbolToWordRatio(text) < maxSymbolRatio &&
-      bulletLineFraction(text) < maxBulletFrac &&
-      ellipsisLineFraction(text) < maxEllipsisFrac &&
+      hashWordRatio(text).leq(maxSymbolRatio) &&
+      ellipsisWordRatio(text).leq(maxSymbolRatio) &&
+      bulletLineFraction(text).leq(maxBulletFrac) &&
+      ellipsisLineFraction(text).leq(maxEllipsisFrac) &&
       alphaWordFraction(text).geq(minAlphaFrac) &&
       gopherStopHits(text).geq(minStopHits)
   }

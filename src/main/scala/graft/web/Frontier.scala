@@ -66,10 +66,22 @@ object Frontier {
     df.head().getAs[Array[Byte]](0)
   }
 
-  /** Map-only membership probe (see [[graft.sim.BloomMightContain]]). */
-  def mightContain(c: Column, bloom: Array[Byte]): Column =
+  /** Map-only membership probe over an already-broadcast filter (see
+    * [[graft.sim.BloomMightContain]] — bytes ship and deserialize once
+    * per executor).
+    */
+  def mightContain(c: Column,
+      bloom: org.apache.spark.broadcast.Broadcast[Array[Byte]]): Column =
     org.apache.spark.sql.GraftColumnBridge.column(graft.sim.BloomMightContain(
       org.apache.spark.sql.GraftColumnBridge.expression(c), bloom))
+
+  /** Convenience overload: broadcasts `bloom` on the active session.
+    * Callers probing more than once should broadcast once themselves
+    * (as [[newUrlsBloom]] does) rather than re-ship the bytes.
+    */
+  def mightContain(c: Column, bloom: Array[Byte]): Column =
+    mightContain(c, org.apache.spark.sql.SparkSession.active
+      .sparkContext.broadcast(bloom))
 
   /** Bloom-pruned EXACT frontier filter: batch rows whose canonical
     * url is not in the base. Same contract as `Dedup.newUrls`
@@ -80,10 +92,11 @@ object Frontier {
     */
   def newUrlsBloom(batch: DataFrame, base: DataFrame, urlCol: String,
       bloom: Array[Byte], maxBroadcast: Long = 4000000L): DataFrame = {
+    val ref = batch.sparkSession.sparkContext.broadcast(bloom)
     val key = Normalizers.normalizeUrl(col(urlCol))
     val b = batch.withColumn("_u", key)
-    val definitelyNew = b.where(!mightContain($"_u", bloom))
-    val maybeSeen = b.where(mightContain($"_u", bloom))
+    val definitelyNew = b.where(!mightContain($"_u", ref))
+    val maybeSeen = b.where(mightContain($"_u", ref))
     val maybeKeys = maybeSeen.select($"_u").distinct()
     val baseKeys = base.select(key.as("_u"))
     val seen =

@@ -32,39 +32,44 @@ class GopherFilterSpec extends AnyFunSuite {
       5L -> (Seq.fill(10)("• " + good).mkString("\n")),  // bullet frac 1.0 > 0.9
       6L -> (Seq.fill(3)(good + "...").mkString("\n")),  // ellipsis frac 1.0 > 0.3 (symbols 3/57 ok)
       7L -> (good + " " + Seq.fill(6)("12345").mkString(" ")), // alpha frac 19/25 < 0.8
-      8L -> "zebra quokka wombat ibis lemur gecko owl puma lynx orca newt koala" // no stopwords
+      8L -> "zebra quokka wombat ibis lemur gecko owl puma lynx orca newt koala", // no stopwords
+      // hash 2/28 and ellipsis 2/28 — each under 0.1, so Gopher KEEPS
+      // it; a summed symbol ratio (4/28 > 0.1) would wrongly drop it
+      9L -> (good + " # extra# word... and... tail of line stays here")
     )
-    assert(keptIds(rows) == Set(1L))
+    assert(keptIds(rows) == Set(1L, 9L))
   }
 
   test("signals are the hand-counted values") {
-    // 4 non-blank lines; 13 ws tokens; 1 '#' + 2 '...' = 3 symbols;
-    // 1 bullet line; 1 ellipsis-terminated line; 11/13 alpha tokens;
-    // stopword hits = {the} = 1; token lengths sum 54
+    // 4 non-blank lines; 13 ws tokens; 1 '#'; 2 '...'; 1 bullet line;
+    // 1 ellipsis-terminated line; 11/13 alpha tokens; stopword hits =
+    // {the} = 1; token lengths sum 54
     val text = "the cat sat... on # mat\n• first bullet\nplain line\nanother plain..."
     val row = Seq((1L, text)).toDF("id", "text").select(
       TextAnalysis.wsTokenCount(graft.norm.Normalizers.normalizeString(col("text"))).as("n"),
-      TextAnalysis.symbolToWordRatio(col("text")).as("sym"),
+      TextAnalysis.hashWordRatio(col("text")).as("hash"),
+      TextAnalysis.ellipsisWordRatio(col("text")).as("esym"),
       TextAnalysis.bulletLineFraction(col("text")).as("bul"),
       TextAnalysis.ellipsisLineFraction(col("text")).as("ell"),
       TextAnalysis.alphaWordFraction(col("text")).as("alpha"),
       TextAnalysis.gopherStopHits(col("text")).as("stops"),
       TextAnalysis.meanTokenLen(col("text")).as("mean")
-    ).as[(Int, Double, Double, Double, Double, Int, Double)].head()
+    ).as[(Int, Double, Double, Double, Double, Double, Int, Double)].head()
     assert(row._1 == 13)
-    assert(math.abs(row._2 - 3.0 / 13) < 1e-12)
-    assert(math.abs(row._3 - 0.25) < 1e-12)
+    assert(math.abs(row._2 - 1.0 / 13) < 1e-12)
+    assert(math.abs(row._3 - 2.0 / 13) < 1e-12)
     assert(math.abs(row._4 - 0.25) < 1e-12)
-    assert(math.abs(row._5 - 11.0 / 13) < 1e-12)
-    assert(row._6 == 1)
-    assert(math.abs(row._7 - 54.0 / 13) < 1e-12)
+    assert(math.abs(row._5 - 0.25) < 1e-12)
+    assert(math.abs(row._6 - 11.0 / 13) < 1e-12)
+    assert(row._7 == 1)
+    assert(math.abs(row._8 - 54.0 / 13) < 1e-12)
   }
 
   test("empty and whitespace-only docs: every signal 0, dropped") {
     val rows = Seq(1L -> "", 2L -> "   \n  \n")
     assert(keptIds(rows, minWords = 0) == Set.empty[Long])
     val sig = rows.toDF("id", "text").select(
-      TextAnalysis.symbolToWordRatio(col("text")).as("sym"),
+      TextAnalysis.hashWordRatio(col("text")).as("sym"),
       TextAnalysis.bulletLineFraction(col("text")).as("bul"),
       TextAnalysis.ellipsisLineFraction(col("text")).as("ell"),
       TextAnalysis.alphaWordFraction(col("text")).as("alpha")
@@ -80,7 +85,7 @@ class GopherFilterSpec extends AnyFunSuite {
     val got = df.select(
       TextAnalysis.bulletLineFraction(col("text")).as("b"),
       TextAnalysis.ellipsisLineFraction(col("text")).as("e"),
-      TextAnalysis.symbolToWordRatio(col("text")).as("s")
+      TextAnalysis.ellipsisWordRatio(col("text")).as("s")
     ).as[(Double, Double, Double)].head()
     assert(got._1 == 0.75)       // 3 of 4 lines bullet-led
     assert(got._2 == 0.25)       // U+2026-terminated line
