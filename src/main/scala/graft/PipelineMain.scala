@@ -82,13 +82,25 @@ object PipelineMain {
               s"--frontier needs the base generation committed under ${wh.root}"))
             val base = wh.read(baseClustersN)
             val frFp = "fr_" + WebDedup.inputSnapshot(batch0) + "_base" + baseId
-            wh.getOrCreate(s"frontier_batch_g$gen", frFp,
-                parent = Some(baseClustersN)) {
-              val bloom = graft.web.Frontier.committedUrlBloom(wh, base, "url",
-                expectedItems = math.max(base.count(), 1000L),
-                fingerprint = "urls_" + baseId)
-              graft.web.Frontier.newUrlsBloom(batch0, base, "url", bloom)
-            }
+            // The bloom broadcast lives exactly as long as the build:
+            // getOrCreate MATERIALIZES the filtered batch (parquet
+            // commit), after which the handle is released (broadcast
+            // destroyed + deserialized-cache entry dropped) so a
+            // session cycling many generations doesn't accumulate
+            // filter copies. On resume the block never runs and no
+            // broadcast is created at all.
+            var bloomRef: graft.web.Frontier.BloomRef = null
+            val filtered =
+              try wh.getOrCreate(s"frontier_batch_g$gen", frFp,
+                  parent = Some(baseClustersN)) {
+                val bloom = graft.web.Frontier.committedUrlBloom(wh, base, "url",
+                  expectedItems = math.max(base.count(), 1000L),
+                  fingerprint = "urls_" + baseId)
+                bloomRef = graft.web.Frontier.broadcastBloom(spark, bloom)
+                graft.web.Frontier.newUrlsBloom(batch0, base, "url", bloomRef)
+              }
+              finally if (bloomRef != null) bloomRef.release()
+            filtered
           }
         WebDedup.addBatch(batch, wh, cfg, gen = gen)
       case None =>

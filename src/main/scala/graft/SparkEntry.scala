@@ -797,12 +797,14 @@ object SparkEntry {
         .select($"k1", $"k2", round($"overall_score", 6).as("overall_score"), $"match_result")
     },
 
-    // ----------------------------------- rows-only checks (no SQL oracle)
-
     "ann_lsh_recall" -> { (s, dir) =>
       // recall@10 of the LSH index vs the exact baseline — the quality
-      // metric an ANN index ships with (depends on the LSH seed: rows-
-      // only check; the value lands in benchmark/metrics surfaces)
+      // metric an ANN index ships with. Fully oracled: the seeded
+      // hyperplanes are part of the index config (data, like the
+      // MinHash family), so the oracle SQL inlines them as DOUBLE[]
+      // literals and DuckDB recomputes the ENTIRE pipeline —
+      // signatures, band values, Hamming-1 multi-probe, candidate
+      // join, exact-cosine top-10, overlap with brute-force top-10.
       val e = t(s, dir, "embeddings")
       val q = e.where($"vec_id" % 10 === 0)
       val bf = Embeddings.bruteForceTopK(e, q, "vec_id", "embedding", 10)
@@ -835,16 +837,6 @@ object SparkEntry {
         .select($"id1", $"id2", $"hamming")
     },
 
-    "dedup_band_stats" -> { (s, dir) =>
-      Dedup.bandBucketStats(Dedup.signatures(t(s, dir, "documents"), "doc_id", "text"))
-    },
-
-    "doc_fingerprints" -> { (s, dir) =>
-      t(s, dir, "documents").select($"doc_id",
-        size(graft.functions.winnow_fingerprint(
-          Normalizers.normalizeString($"text"), 24, 8)).as("n_fingerprints"))
-    },
-
     "sim_token_ratios" -> { (s, dir) =>
       // planted 3-case fixture with hand-derived rapidfuzz goldens
       // (indel ratio = 2*LCS/(|a|+|b|)):
@@ -860,6 +852,18 @@ object SparkEntry {
       c.select(k.cast("long").as("c_custkey"),
         round(graft.functions.token_set_ratio(lower(a), lower(b)), 6).as("tset"),
         round(graft.functions.token_sort_ratio(lower(a), lower(b)), 6).as("tsort"))
+    },
+
+    // ----------------------------------- rows-only checks (no SQL oracle)
+
+    "dedup_band_stats" -> { (s, dir) =>
+      Dedup.bandBucketStats(Dedup.signatures(t(s, dir, "documents"), "doc_id", "text"))
+    },
+
+    "doc_fingerprints" -> { (s, dir) =>
+      t(s, dir, "documents").select($"doc_id",
+        size(graft.functions.winnow_fingerprint(
+          Normalizers.normalizeString($"text"), 24, 8)).as("n_fingerprints"))
     }
   )
 
@@ -873,6 +877,76 @@ object SparkEntry {
       |  UNION ALL SELECT doc_id+100000, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) FROM documents WHERE doc_id%2=0
       |  UNION ALL SELECT doc_id+200000, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) FROM documents WHERE doc_id%6=0
       |)""".stripMargin
+
+  /** The LSH-recall oracle recomputes the WHOLE ANN pipeline in
+    * DuckDB: the seeded hyperplanes are index CONFIG (deterministic
+    * given (dim, bits, seed), like the MinHash family), so they inline
+    * as DOUBLE[] literals and DuckDB independently derives signatures
+    * (bit i = dot >= 0), band values, the Hamming-1 multi-probe
+    * variants of each query band, the candidate join, the exact-cosine
+    * top-10 and its overlap with the brute-force top-10. Only the
+    * SIGNS of dot products and the top-10 ORDERING must agree across
+    * engines — both robust to float fold-order (signs of Gaussian
+    * dots are never within 1e-12 of zero; ordering robustness is the
+    * same property the green `ann_topk` oracle already rests on).
+    */
+  private lazy val lshRecallOracle: String = {
+    val bits = 18; val bands = 6; val width = bits / bands
+    val planes = Embeddings.hyperplanes(64, bits, 42L)
+    def planeLit(p: Array[Double]) = p.mkString("[", ",", "]::DOUBLE[]")
+    val bandCols = (0 until bands).map { b =>
+      val terms = (0 until width).map { j =>
+        val i = b * width + j
+        s"(CASE WHEN list_dot_product(embedding, ${planeLit(planes(i))}) >= 0" +
+          s" THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"$terms AS bv$b"
+    }.mkString(",\n  ")
+    val ceUnion = (0 until bands)
+      .map(b => s"SELECT vec_id, $b AS band, bv$b AS bv FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""WITH sig AS (
+       |  SELECT vec_id,
+       |  $bandCols
+       |  FROM embeddings
+       |), ce AS (
+       |  $ceUnion
+       |), qe AS (
+       |  SELECT ce.vec_id, ce.band, xor(ce.bv, f.flip) AS bv
+       |  FROM ce, (VALUES (0), (1), (2), (4)) f(flip) WHERE ce.vec_id % 10 = 0
+       |), cand AS (
+       |  SELECT DISTINCT qe.vec_id AS query_id, ce.vec_id AS neighbor_id
+       |  FROM qe JOIN ce ON qe.band = ce.band AND qe.bv = ce.bv
+       |  WHERE qe.vec_id <> ce.vec_id
+       |), lsh AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT cand.query_id, cand.neighbor_id,
+       |      row_number() OVER (PARTITION BY cand.query_id
+       |        ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+       |                 cand.neighbor_id) AS rk
+       |    FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
+       |              JOIN embeddings c ON c.vec_id = cand.neighbor_id)
+       |  WHERE rk <= 10
+       |), brute AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+       |                 e.vec_id) AS rk
+       |    FROM embeddings q, embeddings e
+       |    WHERE q.vec_id % 10 = 0 AND e.vec_id <> q.vec_id)
+       |  WHERE rk <= 10
+       |), hits AS (
+       |  SELECT b.query_id, b.neighbor_id FROM brute b
+       |  WHERE EXISTS (SELECT 1 FROM lsh l
+       |    WHERE l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id)
+       |)
+       |SELECT CAST(10 AS INTEGER) AS k,
+       |  (SELECT count(*) FROM brute) AS exact_pairs,
+       |  (SELECT count(*) FROM hits) AS found_pairs,
+       |  round(CAST((SELECT count(*) FROM hits) AS DOUBLE)
+       |        / (SELECT count(*) FROM brute), 4) AS recall_at_k""".stripMargin
+  }
 
   private val matchScores =
     """s1 AS (SELECT c_custkey AS k1, lower(c_name) AS n1, c_acctbal AS b1 FROM customer),
@@ -1025,6 +1099,8 @@ object SparkEntry {
 
     "ann_lsh_top1" ->
       "SELECT CAST(vec_id+100000 AS BIGINT) AS query_id, vec_id AS neighbor_id FROM embeddings WHERE vec_id%20=0",
+
+    "ann_lsh_recall" -> lshRecallOracle,
 
     "ann_ivf_top1" ->
       "SELECT CAST(vec_id+100000 AS BIGINT) AS query_id, vec_id AS neighbor_id FROM embeddings WHERE vec_id%20=0",

@@ -167,14 +167,25 @@ object Embeddings {
     scored.withColumn("rank", row_number().over(w)).where($"rank" <= k)
   }
 
-  /** Embedding-space contamination report: every (corpus doc,
-    * reference doc) pair with cosine >= threshold — the SEMANTIC form
-    * of cross-corpus decontamination (a paraphrased eval question
-    * shares no exact 13-gram and may fall below a lexical-Jaccard
-    * threshold, but its embedding sits next to the eval doc's). The
-    * third decontamination method alongside the lexical two in
-    * [[graft.dedup.Dedup]] (banded-MinHash `contaminationPairs`, exact
-    * n-gram `ngramContamination`).
+  /** Embedding-space contamination report: LSH CANDIDATE pairs
+    * verified by exact cosine >= threshold — APPROXIMATE RECALL.
+    * Candidate generation is banded random-hyperplane LSH, so only
+    * pairs sharing at least one band ever reach the cosine verify:
+    * identical/near-identical vectors share every band (recall is
+    * exact as threshold -> 1), but at the defaults (bits=16, bands=4)
+    * a genuinely contaminated pair at, say, cosine 0.9 can be missed.
+    * For thresholds below ~0.98 raise recall by widening the dial:
+    * more bands / fewer bits per band (e.g. bits=16, bands=8 halves
+    * the per-band width, P(candidate) = 1-(1-p^w)^b rises steeply) —
+    * at the cost of more candidates to verify. Precision is always
+    * exact (every emitted pair passed the true cosine).
+    *
+    * This is the SEMANTIC form of cross-corpus decontamination (a
+    * paraphrased eval question shares no exact 13-gram and may fall
+    * below a lexical-Jaccard threshold, but its embedding sits next
+    * to the eval doc's) — the third decontamination method alongside
+    * the lexical two in [[graft.dedup.Dedup]] (banded-MinHash
+    * `contaminationPairs`, exact n-gram `ngramContamination`).
     *
     * Scale shape — the corpus NEVER crosses a shuffle: the reference
     * (an eval set: thousands of rows, not billions) broadcasts twice
@@ -187,10 +198,6 @@ object Embeddings {
     *
     * Output columns: (_cid = long corpus id, _rid = long reference id,
     * sim) — internal names, collision-proof for idCol == refIdCol.
-    * Recall contract: identical and near-identical vectors share every
-    * band, so at thresholds near 1 candidate recall is exact; at lower
-    * thresholds recall follows the (bits, bands) dial exactly as in
-    * [[lshTopK]].
     */
   def embeddingContamination(corpus: DataFrame, idCol: String, vecCol: String,
       reference: DataFrame, refIdCol: String, refVecCol: String,
@@ -212,10 +219,16 @@ object Embeddings {
       .dropDuplicates("_cid", "_rid")
   }
 
-  /** The embedding-deconned corpus: every input column, minus
-    * documents within cosine `threshold` of any reference embedding.
-    * Anti-join key is the long-cast id; safe for idCol == refIdCol
-    * (internal names carry the pair table).
+  /** The embedding-deconned corpus: every input column and type rides
+    * through untouched, minus documents [[embeddingContamination]]
+    * flags as within cosine `threshold` of a reference embedding.
+    * APPROXIMATE RECALL, same contract as embeddingContamination: LSH
+    * candidates verified by exact cosine, so at thresholds below
+    * ~0.98 some contaminated docs can survive at the default
+    * (bits=16, bands=4) dial — raise bands (or cut bits per band) to
+    * raise recall. The anti-join runs on an internal long key so the
+    * caller's id column keeps its original type (int/string ids are
+    * not rewritten).
     */
   def embeddingDecontaminate(corpus: DataFrame, idCol: String, vecCol: String,
       reference: DataFrame, refIdCol: String, refVecCol: String,
@@ -223,9 +236,10 @@ object Embeddings {
       seed: Long = 42L): DataFrame = {
     val bad = embeddingContamination(corpus, idCol, vecCol,
         reference, refIdCol, refVecCol, threshold, bits, bands, dim, seed)
-      .select($"_cid".as(idCol)).distinct()
-    corpus.withColumn(idCol, col(idCol).cast("long"))
-      .join(bad, Seq(idCol), "left_anti")
+      .select($"_cid".as("_k")).distinct()
+    corpus.withColumn("_k", col(idCol).cast("long"))
+      .join(bad, Seq("_k"), "left_anti")
+      .drop("_k")
   }
 
   /** Embedding near-dup pairs: all (id1 < id2) with cosine >= threshold,

@@ -9,21 +9,34 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.sketch.BloomFilter
 
-/** Per-executor cache of deserialized Bloom filters, keyed by the
-  * broadcast id. A multi-GB frontier filter (1.2 GB per 10^9 urls at
-  * 1% fpp) must deserialize ONCE per executor, not once per task —
-  * expression instances are task-local, so their lazy fields alone
-  * would re-run `readFrom` per task and transiently double the heap
-  * per concurrent task. Entries live for the executor's lifetime
-  * (the artifact pattern: one filter per base generation); `drop`
-  * exists for long-lived sessions cycling many generations.
+/** Per-executor cache of deserialized Bloom filters, keyed by a
+  * CONTENT fingerprint of the filter bytes (not the broadcast id). A
+  * multi-GB frontier filter (1.2 GB per 10^9 urls at 1% fpp) must
+  * deserialize ONCE per executor, not once per task — expression
+  * instances are task-local, so their lazy fields alone would re-run
+  * `readFrom` per task and transiently double the heap per concurrent
+  * task. Content keying means re-broadcasts of the SAME committed
+  * artifact (a long-lived session running many snapshots against one
+  * base generation) share one deserialized copy instead of
+  * accumulating one per broadcast; the entry count is bounded by the
+  * number of DISTINCT filters an executor ever probes, and `drop`
+  * (called by [[graft.web.Frontier.BloomRef.release]] once the
+  * filtered batch is materialized) frees even that in the local JVM.
   */
 object BloomCache {
-  private val cache = new java.util.concurrent.ConcurrentHashMap[Long, BloomFilter]()
-  def get(ref: Broadcast[Array[Byte]]): BloomFilter =
-    cache.computeIfAbsent(ref.id,
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, BloomFilter]()
+  /** SHA-256 of the serialized filter — computed once per broadcast on
+    * the driver (where the bytes pre-exist), carried by the probing
+    * expression. ~1 s per GB, amortized over the artifact's lifetime.
+    */
+  def fingerprint(bytes: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+    d.map(b => f"$b%02x").mkString
+  }
+  def get(key: String, ref: Broadcast[Array[Byte]]): BloomFilter =
+    cache.computeIfAbsent(key,
       _ => BloomFilter.readFrom(new ByteArrayInputStream(ref.value)))
-  def drop(ref: Broadcast[Array[Byte]]): Unit = { cache.remove(ref.id); () }
+  def drop(key: String): Unit = { cache.remove(key); () }
 }
 
 /** `mightContain` probe over a BROADCAST serialized Spark
@@ -39,8 +52,8 @@ object BloomCache {
   * `UTF8String.getBytes` yields the same bytes, so probe == build by
   * construction. No false negatives, `fpp` false positives.
   */
-case class BloomMightContain(child: Expression, bloomRef: Broadcast[Array[Byte]])
-    extends UnaryExpression {
+case class BloomMightContain(child: Expression, bloomRef: Broadcast[Array[Byte]],
+    key: String) extends UnaryExpression {
   override def dataType: DataType = BooleanType
   override def nullIntolerant: Boolean = true
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -49,7 +62,7 @@ case class BloomMightContain(child: Expression, bloomRef: Broadcast[Array[Byte]]
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"bloom_might_contain needs a string child, got ${child.dataType}")
 
-  @transient private lazy val bf: BloomFilter = BloomCache.get(bloomRef)
+  @transient private lazy val bf: BloomFilter = BloomCache.get(key, bloomRef)
 
   /** Public entry for generated code. */
   def mightContain(bytes: Array[Byte]): Boolean = bf.mightContainBinary(bytes)

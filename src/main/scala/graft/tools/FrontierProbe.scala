@@ -54,16 +54,19 @@ object FrontierProbe {
     val (tBloomBuild, bloom) = time(Frontier.urlBloom(base, "url", baseN))
     val (tBloom, nBloom) = time(Frontier.newUrlsBloom(batch, base, "url", bloom).count())
     // the bound: distinct bloom-positive canonical urls vs |batch| distinct
-    val ref = spark.sparkContext.broadcast(bloom)
+    val ref = Frontier.broadcastBloom(spark, bloom)
     val key = Normalizers.normalizeUrl(col("url"))
     val positives = batch.select(key.as("_u"))
       .where(Frontier.mightContain($"_u", ref)).distinct().count()
     val batchDistinct = batch.select(key.as("_u")).distinct().count()
+    // seenFrac=0 with zero false positives → positives=0; emit null
+    // rather than Infinity (not valid JSON for downstream parsers)
+    val shrink = if (positives > 0) f"${batchDistinct.toDouble / positives}%.1f" else "null"
     println(f"""{"metric":"frontier_probe","base":$baseN,"batch":$batchN,""" +
       f""""survivors_exact":$nExact,"survivors_bloom":$nBloom,""" +
       f""""exact_s":$tExact%.2f,"bloom_s":$tBloom%.2f,"bloom_build_s":$tBloomBuild%.2f,""" +
       f""""broadcast_exact_urls":$batchDistinct,"broadcast_bloom_urls":$positives,""" +
-      f""""bound_shrink":${batchDistinct.toDouble / positives}%.1f}""")
+      s""""bound_shrink":$shrink}""")
     spark.stop()
   }
 }

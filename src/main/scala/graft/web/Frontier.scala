@@ -66,22 +66,52 @@ object Frontier {
     df.head().getAs[Array[Byte]](0)
   }
 
+  /** A broadcast filter plus its content fingerprint — the unit of
+    * lifecycle management. `release()` destroys the broadcast blocks
+    * AND drops the local JVM's deserialized-cache entry; call it once
+    * the filtered batch is MATERIALIZED (PipelineMain commits the
+    * frontier batch to the warehouse, so the point is well-defined
+    * there). Without release, a long-lived session cycling many
+    * snapshots against many base generations would retain ~2× filter
+    * size per generation (broadcast blocks + cache copy); the
+    * content-keyed [[graft.sim.BloomCache]] already collapses repeat
+    * broadcasts of the SAME artifact to one cached copy, release
+    * frees generations that are done. On a real cluster
+    * `broadcast.destroy` removes the executor-side blocks too;
+    * executor cache entries stay bounded by distinct-filters-probed.
+    */
+  final case class BloomRef(
+      broadcastRef: org.apache.spark.broadcast.Broadcast[Array[Byte]],
+      key: String) {
+    def release(): Unit = {
+      graft.sim.BloomCache.drop(key)
+      broadcastRef.destroy()
+    }
+  }
+
+  /** Broadcast `bloom` once and fingerprint it for the per-executor
+    * deserialized cache. Callers probing more than once (or wanting a
+    * release point) should hold the returned handle.
+    */
+  def broadcastBloom(spark: org.apache.spark.sql.SparkSession,
+      bloom: Array[Byte]): BloomRef =
+    BloomRef(spark.sparkContext.broadcast(bloom),
+      graft.sim.BloomCache.fingerprint(bloom))
+
   /** Map-only membership probe over an already-broadcast filter (see
     * [[graft.sim.BloomMightContain]] — bytes ship and deserialize once
     * per executor).
     */
-  def mightContain(c: Column,
-      bloom: org.apache.spark.broadcast.Broadcast[Array[Byte]]): Column =
+  def mightContain(c: Column, bloom: BloomRef): Column =
     org.apache.spark.sql.GraftColumnBridge.column(graft.sim.BloomMightContain(
-      org.apache.spark.sql.GraftColumnBridge.expression(c), bloom))
+      org.apache.spark.sql.GraftColumnBridge.expression(c),
+      bloom.broadcastRef, bloom.key))
 
-  /** Convenience overload: broadcasts `bloom` on the active session.
-    * Callers probing more than once should broadcast once themselves
-    * (as [[newUrlsBloom]] does) rather than re-ship the bytes.
+  /** Convenience overload: broadcasts `bloom` on the active session
+    * (one cached deserialization per CONTENT either way).
     */
   def mightContain(c: Column, bloom: Array[Byte]): Column =
-    mightContain(c, org.apache.spark.sql.SparkSession.active
-      .sparkContext.broadcast(bloom))
+    mightContain(c, broadcastBloom(org.apache.spark.sql.SparkSession.active, bloom))
 
   /** Bloom-pruned EXACT frontier filter: batch rows whose canonical
     * url is not in the base. Same contract as `Dedup.newUrls`
@@ -91,8 +121,17 @@ object Frontier {
     * confirm degrades to a plain shuffle anti-join (identical result).
     */
   def newUrlsBloom(batch: DataFrame, base: DataFrame, urlCol: String,
-      bloom: Array[Byte], maxBroadcast: Long = 4000000L): DataFrame = {
-    val ref = batch.sparkSession.sparkContext.broadcast(bloom)
+      bloom: Array[Byte], maxBroadcast: Long): DataFrame =
+    newUrlsBloom(batch, base, urlCol,
+      broadcastBloom(batch.sparkSession, bloom), maxBroadcast)
+
+  def newUrlsBloom(batch: DataFrame, base: DataFrame, urlCol: String,
+      bloom: Array[Byte]): DataFrame =
+    newUrlsBloom(batch, base, urlCol, bloom, 4000000L)
+
+  /** Handle form: caller owns the broadcast and its release point. */
+  def newUrlsBloom(batch: DataFrame, base: DataFrame, urlCol: String,
+      ref: BloomRef, maxBroadcast: Long = 4000000L): DataFrame = {
     val key = Normalizers.normalizeUrl(col(urlCol))
     val b = batch.withColumn("_u", key)
     val definitelyNew = b.where(!mightContain($"_u", ref))
