@@ -103,7 +103,7 @@ object Bench {
     */
   private val benchCfg = DedupConfig(candidateMode = "star")
 
-  private def dedupJob(spark: SparkSession, path: String): Long = {
+  private def dedupRun(spark: SparkSession, path: String): (Long, graft.dedup.ClusterState) = {
     val corpus = spark.read.parquet(path)
     // the committed cluster-table contract (id, cluster_id,
     // cluster_size) — what WebDedup.run commits. nearDupClusters'
@@ -111,7 +111,11 @@ object Bench {
     // through the assign join just to hand it back to the caller; a
     // real pipeline attaches payload columns lazily by id.
     val st = Dedup.clusterState(corpus, "doc_id", "text", benchCfg)
-    val n = Dedup.stateClusters(st).count()
+    (Dedup.stateClusters(st).count(), st)
+  }
+
+  private def dedupJob(spark: SparkSession, path: String): Long = {
+    val (n, st) = dedupRun(spark, path)
     st.release()
     n
   }
@@ -164,9 +168,19 @@ object Bench {
     // interpreted/C1 code for most of the timed run (measured: 369 s
     // vs ~220 s warm for the same 1-core job)
     dedupJob(s, corpusPath)
-    val t = time(dedupJob(s, corpusPath))
+    // timed window = the clustering job itself; the state release is
+    // untimed and BLOCKING so no async block removal is still in
+    // flight when the session stops (the r4 tail's removeRdd [error]
+    // frames — a harmless but loud shutdown race). The old protocol's
+    // in-window release was a ~ms async submit, so the windows compare.
+    var st: graft.dedup.ClusterState = null
+    val t = time {
+      val (_, s2) = dedupRun(s, corpusPath)
+      st = s2
+    }
+    st.release(blocking = true)
     println(f"BENCHLEVEL $t%.3f")
-    s.stop()
+    graft.CacheHygiene.stopDrained(s)
   }
 
   /** Spawn `runLevel` in a fresh JVM with this JVM's classpath and
@@ -214,7 +228,7 @@ object Bench {
       val s = session(CoresMax)
       val n = buildCorpus(s, args(1), args(2).toInt, 8, args(3))
       println(s"BENCHCORPUS $n ${args(3)}")
-      s.stop()
+      graft.CacheHygiene.stopDrained(s)
       return
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -244,7 +258,7 @@ object Bench {
     locally { val st = Dedup.clusterState(
         spark.read.parquet(corpusPath).limit(2000), "doc_id", "text", benchCfg)
       Dedup.stateClusters(st).count(); st.release() }
-    spark.stop()
+    graft.CacheHygiene.stopDrained(spark)
 
     // per-session warmup at half scale: JIT tiers, codegen compile and
     // block-manager spin-up happen outside the timed window (both
@@ -300,7 +314,7 @@ object Bench {
     val tMatchScored = math.min(
       time(matchJob(spark, 10000, earlyTermination = false)),
       time(matchJob(spark, 10000, earlyTermination = false)))
-    spark.stop()
+    graft.CacheHygiene.stopDrained(spark)
 
     // ---- B. scaling: identical job, two parallelism levels (N vs 4N),
     // each level in its own PRISTINE JVM (the faithful analogue of a
@@ -408,8 +422,14 @@ object Bench {
       val recompute = tMax * (nBase + nB).toDouble / nDocs
       (denom, nB, t, recompute)
     }
-    mergedStates.foreach(_.release()); baseState.release()
-    spark.stop()
+    // final releases BLOCKING: the session stops next, and a still-in-
+    // flight async removal races BlockManager shutdown (r4's [error]
+    // tail). Sequential blocking calls also serialize the redundant
+    // frees of the SHARED base-chain persists (each merged state's
+    // release walks the same chain), which non-blocking submission ran
+    // concurrently.
+    mergedStates.foreach(_.release(blocking = true)); baseState.release(blocking = true)
+    graft.CacheHygiene.stopDrained(spark)
     val (_, nBatch, tAddBatch, _) = mergeRatios.head
     val thrBatch = nBatch / tAddBatch
 

@@ -72,11 +72,38 @@ object CacheHygiene {
     * (the LogicalRDD leaves a localCheckpoint leaves behind). After
     * this the frame must not be acted on again — its lineage was
     * truncated at the checkpoint.
+    *
+    * Freed through [[org.apache.spark.graftshim.QuietUnpersist]]
+    * (`RDD.unpersist` minus its unconditional truncated-lineage WARN —
+    * this lifecycle frees checkpoints only after their last consumer,
+    * which is exactly the case the warning exists to flag).
+    *
+    * @param blocking wait for the block removals to complete. Pass
+    *                 true when the session is about to stop: a
+    *                 non-blocking removal still in flight races the
+    *                 BlockManager's shutdown and stack-traces
+    *                 harmlessly but loudly (`removeRdd` [error] frames
+    *                 in an otherwise clean run).
     */
-  def releaseCheckpoints(df: DataFrame): Unit =
+  /** Stop a session with the cache drained: blocking-unpersist every
+    * still-registered RDD first (quietly — some are truncated-lineage
+    * localCheckpoints), so the stop never overlaps an async block
+    * removal. A non-blocking removal still in flight when the
+    * BlockManager shuts down stack-traces harmlessly but loudly
+    * (`BlockManager.removeRdd` [error] frames in an otherwise clean
+    * run — r4's bench tail). Benchmark/CLI mains call this instead of
+    * a bare `spark.stop()`.
+    */
+  def stopDrained(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sparkContext.getPersistentRDDs.values.foreach(rdd =>
+      org.apache.spark.graftshim.QuietUnpersist(spark.sparkContext, rdd, blocking = true))
+    spark.stop()
+  }
+
+  def releaseCheckpoints(df: DataFrame, blocking: Boolean = false): Unit =
     df.queryExecution.analyzed.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false); ()
+        org.apache.spark.graftshim.QuietUnpersist(lr.rdd.sparkContext, lr.rdd, blocking)
       case _ => ()
     }
 }

@@ -172,14 +172,17 @@ object ConnectedComponents {
     * explicit lifecycle (`WebDedup` calls this internally right after
     * committing the stage; in-session callers use `Dedup.release`).
     */
-  def release(result: DataFrame): Unit = graft.CacheHygiene.releaseCheckpoints(result)
+  def release(result: DataFrame, blocking: Boolean = false): Unit =
+    graft.CacheHygiene.releaseCheckpoints(result, blocking)
 
   /** Unpersist the RDD behind a localCheckpoint'ed DataFrame (its
     * analyzed plan is a LogicalRDD over the checkpointed blocks).
+    * Quietly — see [[graft.CacheHygiene.releaseCheckpoints]].
     */
   private def freeCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        org.apache.spark.graftshim.QuietUnpersist(lr.rdd.sparkContext, lr.rdd, blocking = false)
       case _ => // not a checkpointed frame — nothing to free
     }
 

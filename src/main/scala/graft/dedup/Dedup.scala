@@ -150,12 +150,19 @@ final case class ClusterState(assignments: DataFrame, signatures: DataFrame,
     * persisted pieces explicitly because a union plan over them is not
     * itself cached — unpersisting the union would free nothing.
     */
-  def release(): Unit = {
-    (signatures +: retained).foreach(_.unpersist(blocking = false))
-    bands.foreach(_.unpersist(blocking = false))
-    nullSigs.foreach(_.unpersist(blocking = false))
-    assignments.unpersist(blocking = false)
-    graft.CacheHygiene.releaseCheckpoints(assignments)
+  def release(): Unit = release(blocking = false)
+
+  /** @param blocking wait for block removal — pass true for the LAST
+    *                  release before a `spark.stop()` so no async
+    *                  removal races the BlockManager's shutdown (see
+    *                  [[graft.CacheHygiene.releaseCheckpoints]])
+    */
+  def release(blocking: Boolean): Unit = {
+    (signatures +: retained).foreach(_.unpersist(blocking))
+    bands.foreach(_.unpersist(blocking))
+    nullSigs.foreach(_.unpersist(blocking))
+    assignments.unpersist(blocking)
+    graft.CacheHygiene.releaseCheckpoints(assignments, blocking)
     ()
   }
 }
