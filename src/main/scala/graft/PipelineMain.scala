@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.dedup.{DedupConfig, WebDedup}
 import graft.io.{Sources, Warehouse}
 
@@ -10,10 +11,20 @@ import graft.io.{Sources, Warehouse}
   *
   *   spark-submit --class graft.PipelineMain graft.jar \
   *     --input pages.parquet --warehouse /wh \
+  *     [--c4-filter [--c4-min-line-words 5] [--c4-min-sentences 3]] \
+  *     [--gopher-filter [--gopher-min-words 50]] \
+  *     [--line-dedup [--line-dedup-max-df 1]] \
   *     [--threshold 0.8] [--candidate-mode star] [--max-band-bucket 1000] \
   *     [--simhash-radius 2] [--span-min-span 64] \
   *     [--batch newpages.parquet --gen 1 [--frontier]] \
   *     [--output clusters.parquet] [--summary] [--canonical]
+  *
+  * The quality flags run the standard crawl-curation order BEFORE the
+  * dedup stages — C4 line/page heuristics first, then the document-
+  * level Gopher rules, then corpus-wide boilerplate line dedup — the
+  * same composition (and defaults) as the JSON-config surface
+  * (`JobConfig` c4_filter/gopher_filter/line_dedup). The composed pass
+  * is itself a committed, resumable warehouse stage.
   *
   * Without --batch: full `WebDedup.run` (resumable — rerunning after a
   * kill rebuilds only uncommitted stages). With --batch: incremental
@@ -41,6 +52,50 @@ object PipelineMain {
     spark.sparkContext.setLogLevel("WARN")
     try run(spark, opts, System.out)
     finally spark.stop()
+  }
+
+  /** The optional quality passes, composed in the standard crawl-
+    * curation order (c4 -> gopher -> line dedup) over the extracted
+    * text, committed as one resumable warehouse stage (`quality` /
+    * `quality_g$gen`) keyed by knobs + input snapshot. Output follows
+    * the extraction contract WebDedup's stage 1 produces —
+    * (page_id, url, text) — so the dedup pipeline consumes it as a
+    * pages table whose text is already extracted (its own stage 1
+    * normalization is idempotent on it). All three passes are pure
+    * map/filter stages except line dedup's hash-rows aggregation (see
+    * each operator's scale notes); none reads the driver.
+    */
+  private def applyQuality(wh: Warehouse, pages: DataFrame,
+      opts: Map[String, String], stage: String): DataFrame = {
+    val wantC4 = opts.contains("c4-filter")
+    val wantGopher = opts.contains("gopher-filter")
+    val wantLines = opts.contains("line-dedup")
+    if (!wantC4 && !wantGopher && !wantLines) return pages
+    val c4LineWords = opts.getOrElse("c4-min-line-words", "5").toInt
+    val c4Sentences = opts.getOrElse("c4-min-sentences", "3").toInt
+    val gopherWords = opts.getOrElse("gopher-min-words", "50").toInt
+    val lineMaxDf = opts.getOrElse("line-dedup-max-df", "1").toLong
+    val fp = s"q_c4$wantC4.$c4LineWords.${c4Sentences}_go$wantGopher.$gopherWords" +
+      s"_ld$wantLines.${lineMaxDf}_in" + WebDedup.inputSnapshot(pages)
+    wh.getOrCreate(stage, fp) {
+      // quality judges the text AS-CRAWLED: normalize_string collapses
+      // '\n' runs, which would degenerate the line-level rules (C4 line
+      // heuristics, boilerplate line dedup) to one line per document.
+      // The dedup pipeline's own stage 1 normalizes downstream.
+      val withText =
+        if (pages.columns.contains("text")) pages
+        else pages.withColumn("text", graft.extract.HtmlExtract.extractText($"html"))
+      val base = withText.select($"page_id".cast("long").as("page_id"), $"url", $"text")
+      val c4d = if (!wantC4) base
+        else graft.text.TextAnalysis.c4Filter(base, "text", c4LineWords, c4Sentences)
+      val god = if (!wantGopher) c4d
+        else graft.text.TextAnalysis.gopherFilter(c4d, "text", minWords = gopherWords)
+      if (!wantLines) god
+      else {
+        val deduped = graft.dedup.LineDedup.dedupLines(god, "page_id", "text", lineMaxDf)
+        god.drop("text").join(deduped, Seq("page_id"))
+      }
+    }
   }
 
   private[graft] def run(spark: SparkSession, opts: Map[String, String],
@@ -102,10 +157,15 @@ object PipelineMain {
               finally if (bloomRef != null) bloomRef.release()
             filtered
           }
-        WebDedup.addBatch(batch, wh, cfg, gen = gen)
+        // quality passes AFTER the frontier (url-level pruning is a
+        // map-only probe; no point paying text extraction + filters
+        // for pages the frontier drops) and BEFORE the merge
+        WebDedup.addBatch(applyQuality(wh, batch, opts, s"quality_g$gen"),
+          wh, cfg, gen = gen)
       case None =>
         val pages = Sources.read(spark, graft.config.SourceSpec(path = Some(opts("input"))))
-        WebDedup.run(pages, wh, cfg, canonical = opts.contains("canonical"))
+        WebDedup.run(applyQuality(wh, pages, opts, "quality"),
+          wh, cfg, canonical = opts.contains("canonical"))
     }
     opts.get("output").foreach { p =>
       Sources.write(clusters, graft.config.SourceSpec(path = Some(p)))
@@ -127,7 +187,8 @@ object PipelineMain {
       s"${wh.buildCount} stages built (rest resumed from ${wh.root})$canonicalNote")
   }
 
-  private val flags = Set("summary", "exact-verify", "canonical", "frontier")
+  private val flags = Set("summary", "exact-verify", "canonical", "frontier",
+    "c4-filter", "gopher-filter", "line-dedup")
 
   private def parse(args: List[String]): Map[String, String] = {
     def loop(rest: List[String], acc: Map[String, String]): Map[String, String] = rest match {
@@ -141,6 +202,9 @@ object PipelineMain {
     require(m.contains("warehouse") && (m.contains("input") || m.contains("batch")),
       "usage: graft.PipelineMain --input pages.parquet --warehouse /wh " +
         "[--batch new.parquet --gen 1 [--frontier]] [--threshold T] " +
+        "[--c4-filter [--c4-min-line-words N] [--c4-min-sentences N]] " +
+        "[--gopher-filter [--gopher-min-words N]] " +
+        "[--line-dedup [--line-dedup-max-df N]] " +
         "[--candidate-mode pairs|star] " +
         "[--max-band-bucket N] [--simhash-radius R] [--span-min-span N] " +
         "[--output PATH] [--summary] [--exact-verify] [--canonical]")

@@ -53,6 +53,49 @@ class PipelineMainSpec extends AnyFunSuite {
     assert(g1.columns.toSet == Set("page_id", "url", "cluster_id", "cluster_size", "bucket"))
   }
 
+  test("--c4-filter --gopher-filter --line-dedup compose before dedup through the arg path") {
+    import spark.implicits.{StringToColumn => _, _}
+    val dir = Files.createTempDirectory("pipeq")
+    val boiler = "Subscribe to our newsletter for updates and offers every single day."
+    val nav = "home | about | contact" // C4: no terminal punctuation -> dropped
+    def good(i: Int) =
+      s"The quick brown fox number brave$i jumps over the lazy dog today.\n" +
+        s"$nav\n$boiler\n" +
+        s"The weather report for region zone$i shows that the sunshine will continue."
+    // passes C4 (3 sentences, >= 5 words/line) but has ZERO Gopher stop
+    // words -> dropped by the gopher pass specifically
+    val junk = "Zxqv bnmt plkj qwer asdf. Zxqv bnmt plkj qwer asdf. Zxqv bnmt plkj qwer asdf."
+    val pages = ((0 until 20).map(i => (i.toLong, s"https://q.example.org/p$i", good(i))) :+
+      ((99L, "https://q.example.org/junk", junk))).toDF("page_id", "url", "text")
+    val inPath = s"$dir/pages.parquet"
+    pages.write.parquet(inPath)
+    val wh = s"$dir/wh"
+    val outPath = s"$dir/clusters.parquet"
+    val qualityOpts = Map("input" -> inPath, "warehouse" -> wh, "threshold" -> "0.8",
+      "c4-filter" -> "true", "gopher-filter" -> "true", "gopher-min-words" -> "5",
+      "line-dedup" -> "true")
+
+    val (out1, _) = sink()
+    PipelineMain.run(spark, qualityOpts + ("output" -> outPath), out1)
+    // the gopher-junk page never reaches the cluster table; good pages do
+    val clusters = spark.read.parquet(outPath)
+    assert(clusters.count() == 20)
+    assert(clusters.where(col("page_id") === 99L).count() == 0)
+
+    // the committed quality stage holds the composed pass's output:
+    // nav line gone everywhere (C4), boilerplate line surviving exactly
+    // once corpus-wide (line dedup), junk page judged and dropped (gopher)
+    val q = new io.Warehouse(wh, spark).read("quality")
+    assert(q.count() == 20)
+    assert(q.where(col("text").contains("home | about")).count() == 0)
+    assert(q.where(col("text").contains("Subscribe to our newsletter")).count() == 1)
+
+    // resumable like every stage: identical args rebuild nothing
+    val (out2, bos2) = sink()
+    PipelineMain.run(spark, qualityOpts, out2)
+    assert(bos2.toString("UTF-8").contains("0 stages built"))
+  }
+
   test("--frontier drops re-crawled urls before the batch merge") {
     val dir = Files.createTempDirectory("pipefr")
     val pages = fixtures.WebPages.fromDocuments(
