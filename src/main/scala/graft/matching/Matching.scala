@@ -362,6 +362,18 @@ object Matching {
       .groupBy(col(id1)).agg(min(col(id2)).as(id2))
   }
 
+  /** Diagnostic surface of the early-termination shortcut: the exact
+    * pair table [[matchTables]] resolves WITHOUT candidate generation
+    * when `earlyTermination` is on (one row per s1 id whose every
+    * mapped column normalizes equal to some s2 row). Lets a benchmark
+    * or operator verify the shortcut's coverage on a workload instead
+    * of assuming it — `count() == |s1|` means the scored path saw an
+    * empty probe side.
+    */
+  def perfectMatchPairs(s1: DataFrame, s2: DataFrame, id1: String, id2: String,
+      mapping: Seq[MatchColumn]): DataFrame =
+    perfectPairs(s1, s2, id1, id2, mapping)
+
   /** Full matching-mode run. Output per the reference contract
     * (matcher.py:1450-1476): id pair, per-column scores, overall_score,
     * match_result. Best-match keeps the top candidate per source1 row
