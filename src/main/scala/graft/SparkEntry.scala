@@ -864,6 +864,41 @@ object SparkEntry {
       t(s, dir, "documents").select($"doc_id",
         size(graft.functions.winnow_fingerprint(
           Normalizers.normalizeString($"text"), 24, 8)).as("n_fingerprints"))
+    },
+
+    // --------------------------- oracled variants of the two above:
+    // the default-config surfaces stay rows-only (their hash families
+    // are not DuckDB-expressible), but each kernel gets a full
+    // cross-engine oracle in a regime where the output is
+    // engine-independent.
+
+    "doc_fingerprints_w1" -> { (s, dir) =>
+      // window=1 winnowing degenerates to the DISTINCT k-gram hash
+      // set (every 1-wide window selects its own gram), so the count
+      // is engine-independent: DuckDB recounts distinct 24-char
+      // substrings of the same normalized text. Pins the kernel's
+      // code-point gram walk, rolling-hash dedup and the n<k / n==0
+      // degenerate branches cross-engine; window SELECTION stays
+      // pinned by the oracled dedup_shared_span and the SIGMOD'03
+      // goldens in SimKernelsSpec.
+      t(s, dir, "documents").select($"doc_id",
+        size(graft.functions.winnow_fingerprint(
+          Normalizers.normalizeString($"text"), 24, 1)).as("n_grams"))
+    },
+
+    "dedup_band_stats_planted" -> { (s, dir) =>
+      // fixture: 40 groups of BYTE-IDENTICAL texts with group-disjoint
+      // token vocabularies ("g<g>t<j>" tokens — equality of two tokens
+      // forces equal group digits), so every band bucket IS a group
+      // (disjoint shingle sets share a bucket only through a 64-bit
+      // band-hash collision) and the whole stats surface — buckets,
+      // largest bucket, candidate pairs, per band — is engine-
+      // independent arithmetic over the group sizes.
+      val g = ($"doc_id" % 40).cast("string")
+      val text = concat_ws(" ", (0 until 12).map(j =>
+        concat(lit("g"), g, lit(s"t$j"))): _*)
+      val fixture = t(s, dir, "documents").select($"doc_id", text.as("text"))
+      Dedup.bandBucketStats(Dedup.signatures(fixture, "doc_id", "text"))
     }
   )
 
@@ -1570,6 +1605,32 @@ object SparkEntry {
         |       WHEN c_custkey%3=1 THEN round(2.0/3.0, 6) ELSE 0.0 END AS DOUBLE) AS tset,
         |  CAST(CASE WHEN c_custkey%3=0 THEN 1.0
         |       WHEN c_custkey%3=1 THEN round(1.0/3.0, 6) ELSE 0.0 END AS DOUBLE) AS tsort
-        |FROM customer""".stripMargin
+        |FROM customer""".stripMargin,
+
+    // window=1 winnowing = the distinct 24-gram hash set, so DuckDB
+    // recounts distinct 24-char substrings of the same normalized
+    // text; n<k falls back to one whole-text hash, n=0 to none
+    "doc_fingerprints_w1" ->
+      """WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        |           FROM documents)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN length(t) = 0 THEN 0
+        |            WHEN length(t) < 24 THEN 1
+        |            ELSE len(list_distinct(list_transform(range(1, length(t)-24+2),
+        |                                                  i -> substr(t, i, 24))))
+        |       END AS INT) AS n_grams
+        |FROM n""".stripMargin,
+
+    // byte-identical group fixture: bucket structure == group structure
+    // in every band, so the stats are arithmetic over the group sizes
+    // (candidate_pairs is DOUBLE because Spark's `/` is float division)
+    "dedup_band_stats_planted" ->
+      """WITH grp AS (SELECT doc_id % 40 AS g, count(*) AS n FROM documents GROUP BY 1),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS buckets,
+        |               CAST(max(n) AS BIGINT) AS largest_bucket,
+        |               CAST(sum(n*(n-1)/2.0) AS DOUBLE) AS candidate_pairs
+        |        FROM grp)
+        |SELECT CAST(r.range AS INT) AS band, buckets, largest_bucket, candidate_pairs
+        |FROM agg, range(0, 32) r""".stripMargin
   )
 }
