@@ -17,9 +17,13 @@ import graft.matching.{MatchOptions, Matching}
   *   graft.Main --setup                             # config wizard (main.py:11-69)
   *   graft.Main --ui                                # job manager menu (cli_ui.py)
   *
-  * The job queue / REST service of the reference are orchestration,
-  * not engine semantics (SURVEY §2.12) — spark-submit plus warehouse
-  * checkpoints replace them.
+  * The reference's job queue / worker pool / REST service
+  * (web_service.py, job_queue.py, job_worker_pool.py) live in
+  * `graft.service`: `graft.service.JobService --port 8080` serves the
+  * same endpoints over the JDK's built-in HTTP server, with priorities
+  * mapped to Spark fair-scheduler pools and cancellation to
+  * `cancelJobGroup`. Batch pipelines should still prefer spark-submit
+  * plus warehouse checkpoints.
   */
 object Main {
 
