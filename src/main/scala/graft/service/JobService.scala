@@ -66,6 +66,7 @@ final class JobService(spark: SparkSession, jobsDir: Path, port: Int,
     val path = ex.getRequestURI.getPath.stripSuffix("/")
     try {
       (method, path.split("/").toList.filter(_.nonEmpty)) match {
+        case ("GET", Nil) => apiRoot(ex)
         case ("GET", List("health")) => health(ex)
         case ("GET", List("api", "jobs")) => listJobs(ex)
         case ("POST", List("api", "jobs")) => saveJob(ex, None)
@@ -87,6 +88,23 @@ final class JobService(spark: SparkSession, jobsDir: Path, port: Int,
   }
 
   // ------------------------------------------------------------ handlers
+
+  /** API discovery page (web_service.py:118-135). */
+  private def apiRoot(ex: HttpExchange): Unit = {
+    val n = mapper.createObjectNode()
+    n.put("name", "Fuzzy Matching Engine API")
+    n.put("version", "1.0.0")
+    val e = n.putObject("endpoints")
+    e.put("jobs", "/api/jobs")
+    e.put("job_detail", "/api/jobs/{name}")
+    e.put("run_job", "/api/jobs/{name}/run")
+    e.put("job_status", "/api/jobs/{name}/status")
+    e.put("queue", "/api/jobs/queue")
+    e.put("cancel_job", "/api/jobs/{name}/cancel")
+    e.put("queue_status", "/api/jobs/{name}/queue-status")
+    e.put("search", "/api/search")
+    send(ex, 200, n)
+  }
 
   private def health(ex: HttpExchange): Unit = {
     val n = mapper.createObjectNode()

@@ -184,6 +184,11 @@ class JobServiceSpec extends AnyFunSuite {
 
       val (hc, hb) = get("/health")
       assert(hc == 200 && mapper.readTree(hb).path("status").asText() == "healthy")
+
+      // API discovery root (web_service.py:118-135)
+      val (ac, ab) = get("/")
+      assert(ac == 200 &&
+        mapper.readTree(ab).path("endpoints").path("search").asText() == "/api/search")
     } finally svc.stop()
   }
 }
