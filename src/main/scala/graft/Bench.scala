@@ -106,7 +106,7 @@ object Bench {
     * artifact); pruning only shows at a corpus where |Q| x |corpus|
     * dominates plan/window costs.
     */
-  private def buildEmbCorpus(spark: SparkSession, sfDir: String, groups: Int,
+  private[graft] def buildEmbCorpus(spark: SparkSession, sfDir: String, groups: Int,
       path: String): Long = {
     val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select($"vec_id", $"embedding")
@@ -120,6 +120,16 @@ object Bench {
     parts.reduce(_ unionAll _).repartition(16).write.mode("overwrite").parquet(path)
     spark.read.parquet(path).count()
   }
+
+  /** Fixed ANN query set: 10% of group 0 (corpus-scale-independent),
+    * ids shifted by 1e12 — far above any corpus id (groups * 1e7), so
+    * the self-exclusion predicate in brute/probe can never silently
+    * drop a legitimate corpus candidate whose id collides with a
+    * query id (the old 1e9 shift collided with group 100's ids).
+    */
+  private[graft] def annQueries(emb: DataFrame): DataFrame =
+    emb.where($"vec_id" < 10000000L && $"vec_id" % 10 === 0)
+      .select(($"vec_id" + 1000000000000L).as("vec_id"), $"embedding")
 
   /** The timed job: full near-dup clustering (signatures -> LSH ->
     * verify -> connected components -> sizes), forced by count().
@@ -328,8 +338,7 @@ object Bench {
     // the probe then costs: |Q| x ~(nprobe/nlist) of the corpus read
     // off the cid-partitioned cells table vs brute's |Q| x |corpus|.
     val emb = spark.read.parquet(embPath)
-    val annQ = emb.where($"vec_id" < 10000000L && $"vec_id" % 10 === 0)
-      .select(($"vec_id" + 1000000000L).as("vec_id"), $"embedding")
+    val annQ = annQueries(emb)
     val nAnnQ = annQ.count()
     val ivfWh = new graft.io.Warehouse(
       java.nio.file.Files.createTempDirectory("bench_ivf").toString, spark)

@@ -68,6 +68,21 @@ object CacheHygiene {
     try f finally sc.setJobDescription(prev)
   }
 
+  /** Stop a session with the cache drained: blocking-unpersist every
+    * still-registered RDD first (quietly — some are truncated-lineage
+    * localCheckpoints), so the stop never overlaps an async block
+    * removal. A non-blocking removal still in flight when the
+    * BlockManager shuts down stack-traces harmlessly but loudly
+    * (`BlockManager.removeRdd` [error] frames in an otherwise clean
+    * run — r4's bench tail). Benchmark/CLI mains call this instead of
+    * a bare `spark.stop()`.
+    */
+  def stopDrained(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sparkContext.getPersistentRDDs.values.foreach(rdd =>
+      org.apache.spark.graftshim.QuietUnpersist(spark.sparkContext, rdd, blocking = true))
+    spark.stop()
+  }
+
   /** Unpersist every checkpointed/persisted RDD backing `df`'s plan
     * (the LogicalRDD leaves a localCheckpoint leaves behind). After
     * this the frame must not be acted on again — its lineage was
@@ -85,21 +100,6 @@ object CacheHygiene {
     *                 harmlessly but loudly (`removeRdd` [error] frames
     *                 in an otherwise clean run).
     */
-  /** Stop a session with the cache drained: blocking-unpersist every
-    * still-registered RDD first (quietly — some are truncated-lineage
-    * localCheckpoints), so the stop never overlaps an async block
-    * removal. A non-blocking removal still in flight when the
-    * BlockManager shuts down stack-traces harmlessly but loudly
-    * (`BlockManager.removeRdd` [error] frames in an otherwise clean
-    * run — r4's bench tail). Benchmark/CLI mains call this instead of
-    * a bare `spark.stop()`.
-    */
-  def stopDrained(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sparkContext.getPersistentRDDs.values.foreach(rdd =>
-      org.apache.spark.graftshim.QuietUnpersist(spark.sparkContext, rdd, blocking = true))
-    spark.stop()
-  }
-
   def releaseCheckpoints(df: DataFrame, blocking: Boolean = false): Unit =
     df.queryExecution.analyzed.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>

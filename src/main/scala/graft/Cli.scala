@@ -101,7 +101,22 @@ object Cli {
   final class JobStore(val jobsDir: Path) {
     Files.createDirectories(jobsDir)
 
-    def jobPath(name: String): Path = jobsDir.resolve(s"$name.json")
+    /** Job names are filenames under jobsDir — reject anything that
+      * could escape it (path separators; ".." is harmless because the
+      * ".json" suffix makes it a plain filename) or collide with the
+      * REST route space ("queue" shadows GET /api/jobs/queue).
+      */
+    def validateName(name: String): Unit = {
+      require(name.nonEmpty, "job name is required")
+      require(!name.contains('/') && !name.contains('\\'),
+        s"invalid job name '$name': must not contain path separators")
+      require(name != "queue", "'queue' is a reserved job name")
+    }
+
+    def jobPath(name: String): Path = {
+      validateName(name)
+      jobsDir.resolve(s"$name.json")
+    }
 
     def list(): Seq[(String, String)] = {
       // Files.list holds a directory handle until closed — drain it

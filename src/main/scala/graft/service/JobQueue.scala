@@ -25,11 +25,12 @@ import scala.jdk.CollectionConverters._
   * What is deliberately NOT mirrored: the reference pairs each running
   * job with a `threading.Event` that worker code must poll between
   * chunks (`job_queue.py:346-372`). On Spark, cancellation is a
-  * first-class scheduler operation — `JobWorkerPool` tags every job's
-  * work with a job group and `cancel` here invokes the registered
-  * canceller (`SparkContext.cancelJobGroup`), which kills all of the
-  * group's stages cluster-wide without any cooperation from the job
-  * body. The queue itself is Spark-free and unit-testable.
+  * first-class scheduler operation — `JobWorkerPool` tags every run's
+  * work with a fresh job group and `cancel` here invokes the
+  * registered canceller (`SparkContext.cancelJobGroupAndFutureJobs`),
+  * which kills all of the group's stages cluster-wide without any
+  * cooperation from the job body. The queue itself is Spark-free and
+  * unit-testable.
   */
 final class JobQueue(val queueFile: Path) {
 
@@ -90,10 +91,17 @@ final class JobQueue(val queueFile: Path) {
   def close(): Unit = lock.synchronized { open = false; lock.notifyAll() }
 
   /** The worker pool registers how to kill `name`'s in-flight Spark
-    * work (cancelJobGroup) for the duration of its run.
+    * work (cancelJobGroupAndFutureJobs) for the duration of its run.
+    * Returns true if a cancel already arrived in the window between
+    * dequeue (which makes the job visible as active) and this call —
+    * the caller must then invoke its own canceller, or that cancel
+    * would be lost to the not-yet-registered map.
     */
-  private[graft] def registerCanceller(name: String, f: () => Unit): Unit =
-    lock.synchronized { cancellers(name) = f; () }
+  private[graft] def registerCanceller(name: String, f: () => Unit): Boolean =
+    lock.synchronized {
+      cancellers(name) = f
+      active.get(name).exists(_.status == "cancelling")
+    }
 
   private[graft] def dropCanceller(name: String): Unit =
     lock.synchronized { cancellers -= name; () }
@@ -177,7 +185,9 @@ final class JobQueue(val queueFile: Path) {
   }
 
   /** Queue + active + history to one JSON file (job_queue.py:374-412).
-    * Called under the lock by every mutator.
+    * Called under the lock by every mutator. Write-temp-then-atomic-
+    * rename: a crash mid-write must never leave a truncated file that
+    * bricks the next start's loadState.
     */
   private def saveState(): Unit = {
     val root = mapper.createObjectNode()
@@ -187,8 +197,11 @@ final class JobQueue(val queueFile: Path) {
     active.values.foreach(j => a.add(jobNode(j)))
     val h = root.putArray("history")
     history.values.foreach(j => h.add(jobNode(j)))
-    Files.writeString(queueFile,
+    val tmp = queueFile.resolveSibling(queueFile.getFileName.toString + ".tmp")
+    Files.writeString(tmp,
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+    Files.move(tmp, queueFile, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     ()
   }
 
@@ -197,7 +210,21 @@ final class JobQueue(val queueFile: Path) {
     */
   private def loadState(): Unit = lock.synchronized {
     if (!Files.exists(queueFile)) return
-    val root = mapper.readTree(Files.readString(queueFile))
+    // a pre-atomic-rename writer (or a corrupted disk) may have left
+    // unparseable JSON; starting empty beats refusing to start — move
+    // the bad file aside for the operator instead of throwing
+    val root =
+      try mapper.readTree(Files.readString(queueFile))
+      catch {
+        case e: Exception =>
+          val aside = queueFile.resolveSibling(
+            queueFile.getFileName.toString + ".corrupt")
+          Files.move(queueFile, aside,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          System.err.println(s"[graft.service] queue state unreadable " +
+            s"(${e.getMessage}); moved to $aside, starting with an empty queue")
+          return
+      }
     def readArr(field: String): Seq[ObjectNode] =
       root.path(field) match {
         case arr: ArrayNode => arr.elements().asScala.toVector.collect {

@@ -34,7 +34,8 @@ import scala.util.control.NonFatal
   * its priority.
   */
 final class JobService(spark: SparkSession, jobsDir: Path, port: Int,
-    maxWorkers: Int = JobWorkerPool.defaultMaxWorkers) {
+    maxWorkers: Int = JobWorkerPool.defaultMaxWorkers,
+    bind: String = "127.0.0.1") {
 
   private val mapper = new ObjectMapper()
   private val store = new graft.Cli.JobStore(jobsDir)
@@ -42,7 +43,11 @@ final class JobService(spark: SparkSession, jobsDir: Path, port: Int,
   // job listing would surface it as a job named "queue_state"
   val queue = new JobQueue(jobsDir.resolve("_state").resolve("queue_state.json"))
   private val pool = new JobWorkerPool(spark, queue, maxWorkers)
-  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  // loopback by default: the API is unauthenticated and /api/search
+  // reads caller-supplied paths, so exposing it beyond the host is an
+  // explicit operator decision (--bind 0.0.0.0, the reference's
+  // uvicorn default) to make behind their own network controls
+  private val server = HttpServer.create(new InetSocketAddress(bind, port), 0)
 
   /** Bound port (0 in the constructor picks a free one — tests). */
   def boundPort: Int = server.getAddress.getPort
@@ -305,9 +310,10 @@ object JobService {
       .getOrCreate()
   }
 
-  /** `graft.service.JobService --port 8080 --jobs-dir jobs` — the
-    * uvicorn-equivalent entry point (web_service.py runs standalone
-    * the same way).
+  /** `graft.service.JobService --port 8080 --jobs-dir jobs
+    * [--bind 0.0.0.0] [--max-workers N]` — the uvicorn-equivalent
+    * entry point (web_service.py runs standalone the same way).
+    * Binds loopback unless --bind widens it (see the server field).
     */
   def main(args: Array[String]): Unit = {
     val opts = args.sliding(2, 2).collect {
@@ -317,12 +323,14 @@ object JobService {
     val spark = fairSession(s"local[$cpus]", cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.registerAll(spark)
+    val bind = opts.getOrElse("bind", "127.0.0.1")
     val svc = new JobService(spark,
       Paths.get(opts.getOrElse("jobs-dir", "jobs")),
       opts.getOrElse("port", "8080").toInt,
-      opts.get("max-workers").map(_.toInt).getOrElse(JobWorkerPool.defaultMaxWorkers))
+      opts.get("max-workers").map(_.toInt).getOrElse(JobWorkerPool.defaultMaxWorkers),
+      bind)
     svc.start()
-    println(s"graft job service listening on :${svc.boundPort}")
+    println(s"graft job service listening on $bind:${svc.boundPort}")
     Thread.currentThread().join()
   }
 }

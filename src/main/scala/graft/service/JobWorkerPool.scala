@@ -21,12 +21,15 @@ import scala.util.control.NonFatal
   *     job admitted next to a low one is WEIGHTED onto more cores —
   *     strictly stronger than the reference, whose running low job
   *     holds its process-pool slots until done.
-  *   - CANCELLATION is `SparkContext.cancelJobGroup`: every job's work
-  *     is tagged with a job group (`interruptOnCancel = true`), and the
-  *     queue's registered canceller kills all the group's stages
-  *     cluster-wide. The reference instead hands workers a
-  *     `threading.Event` the job body must poll between chunks
-  *     (`job_queue.py:346-372`) — a running chunk cannot be stopped.
+  *   - CANCELLATION is `SparkContext.cancelJobGroupAndFutureJobs`:
+  *     every run's work is tagged with a fresh job group
+  *     (`interruptOnCancel = true`), and the queue's registered
+  *     canceller kills all the group's stages cluster-wide — including
+  *     actions the job submits AFTER the cancel (a cancel landing
+  *     between two actions would otherwise be lost). The reference
+  *     instead hands workers a `threading.Event` the job body must
+  *     poll between chunks (`job_queue.py:346-372`) — a running chunk
+  *     cannot be stopped.
   *
   * `execute` is injectable for tests; the default materializes the
   * job's embedded config to a temp file and runs it through
@@ -75,31 +78,52 @@ final class JobWorkerPool(spark: SparkSession, queue: JobQueue,
 
   private def workerLoop(): Unit = {
     while (running) {
-      queue.dequeue(timeoutMs = 250L).foreach { job =>
-        val group = s"graft-job-${job.name}"
-        val sc = spark.sparkContext
-        // thread-local: this worker's actions only
-        sc.setLocalProperty("spark.scheduler.pool", job.priority)
-        sc.setJobGroup(group, s"graft job '${job.name}' (${job.priority})",
-          interruptOnCancel = true)
-        queue.registerCanceller(job.name, () => sc.cancelJobGroup(group))
-        try {
-          execute(spark, job)
-          queue.markDone(job.name, success = true)
-        } catch {
-          case NonFatal(e) =>
-            // a cancelJobGroup'd action surfaces as SparkException in
-            // this thread; the cancelling flag says which it was
-            queue.markDone(job.name, success = false,
-              output = if (queue.isCancelling(job.name)) "cancelled"
-                else String.valueOf(e.getMessage))
-        } finally {
-          queue.dropCanceller(job.name)
-          sc.clearJobGroup()
-          sc.setLocalProperty("spark.scheduler.pool", null)
-          idle.synchronized { idle.notifyAll() }
-        }
+      // the outer guard keeps a transient persistence failure (e.g.
+      // dequeue's or markDone's saveState hitting a full disk) from
+      // killing the worker thread silently — the pool would otherwise
+      // keep accepting enqueues that no thread ever drains
+      try {
+        queue.dequeue(timeoutMs = 250L).foreach(runOne)
+      } catch {
+        case NonFatal(e) =>
+          System.err.println(s"[graft.service] worker error: ${e.getMessage}")
+          Thread.sleep(1000L)
       }
+    }
+  }
+
+  private def runOne(job: JobQueue.QueuedJob): Unit = {
+    // group id unique PER RUN (seq), not per name:
+    // cancelJobGroupAndFutureJobs permanently poisons a group id, so
+    // re-running a previously cancelled job name must use a fresh one
+    val group = s"graft-job-${job.name}-${job.seq}"
+    val sc = spark.sparkContext
+    // thread-local: this worker's actions only
+    sc.setLocalProperty("spark.scheduler.pool", job.priority)
+    sc.setJobGroup(group, s"graft job '${job.name}' (${job.priority})",
+      interruptOnCancel = true)
+    // AndFutureJobs: a cancel landing BETWEEN two of the job's actions
+    // (planning, file listing) kills the next action too — plain
+    // cancelJobGroup only kills currently-active jobs, which would let
+    // a multi-action job marked "cancelling" run to completion
+    val canceller = () => sc.cancelJobGroupAndFutureJobs(group)
+    // true = a cancel already arrived between dequeue and registration
+    if (queue.registerCanceller(job.name, canceller)) canceller()
+    try {
+      execute(spark, job)
+      queue.markDone(job.name, success = true)
+    } catch {
+      case NonFatal(e) =>
+        // a cancelled group's action surfaces as SparkException in
+        // this thread; the cancelling flag says which it was
+        queue.markDone(job.name, success = false,
+          output = if (queue.isCancelling(job.name)) "cancelled"
+            else String.valueOf(e.getMessage))
+    } finally {
+      queue.dropCanceller(job.name)
+      sc.clearJobGroup()
+      sc.setLocalProperty("spark.scheduler.pool", null)
+      idle.synchronized { idle.notifyAll() }
     }
   }
 }

@@ -1,6 +1,5 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Measures brute-force vs persisted-IVF-probe ANN at a SCALED
   * embedding corpus — the data behind Bench's ann rows and the r5 fix
@@ -8,10 +7,9 @@ import org.apache.spark.sql.functions._
   * raw sf0.1 table, where both rows measure fixed overhead: 2k vectors
   * is no regime for an inverted file).
   *
-  * Corpus scale-up mirrors Bench.buildCorpus's shape: `groups` sign-
-  * flip isometries of the base table (per-(group, dim) deterministic
-  * flips preserve within-group cosine structure and scramble cross-
-  * group similarity), ids offset per group. Usage:
+  * Corpus construction and query-set selection are SHARED with the
+  * bench (`Bench.buildEmbCorpus` / `Bench.annQueries`) so this probe
+  * measures exactly the corpus the committed ann rows ran on. Usage:
   *   runMain graft.tools.AnnProbe [groups] [nlist] [nprobe]
   */
 object AnnProbe {
@@ -24,25 +22,11 @@ object AnnProbe {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", false).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits.StringToColumn
 
-    val base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
-      .select($"vec_id", $"embedding")
-    val parts = for (g <- 0 until groups) yield {
-      val v =
-        if (g == 0) $"embedding"
-        else transform($"embedding", (x, i) =>
-          when(pmod(xxhash64(lit(g) * 1024 + i), lit(2)) === 0, x).otherwise(-x))
-      base.select(($"vec_id" + g.toLong * 10000000L).as("vec_id"), v.as("embedding"))
-    }
     val path = s"/tmp/graft_ann_corpus_$groups"
-    if (!new java.io.File(path + "/_SUCCESS").exists())
-      parts.reduce(_ unionAll _).repartition(16).write.mode("overwrite").parquet(path)
+    val n = graft.Bench.buildEmbCorpus(spark, "/root/testdata/sf0.1", groups, path)
     val emb = spark.read.parquet(path)
-    val n = emb.count()
-    // fixed query set: 10% of group 0 (corpus-scale-independent)
-    val annQ = emb.where($"vec_id" < 10000000L && $"vec_id" % 10 === 0)
-      .select(($"vec_id" + 1000000000L).as("vec_id"), $"embedding")
+    val annQ = graft.Bench.annQueries(emb)
     val nQ = annQ.count()
     println(s"[ann] corpus=$n queries=$nQ nlist=$nlist nprobe=$nprobe")
 

@@ -76,6 +76,38 @@ class JobServiceSpec extends AnyFunSuite {
     assert(dead.status == "failed" && dead.output.contains("interrupted"))
   }
 
+  test("corrupt queue state does not brick startup: moved aside, queue starts empty") {
+    val f = Files.createTempDirectory("jq").resolve("q.json")
+    Files.writeString(f, """{"queue": [ truncated-by-a-crash""")
+    val q = new JobQueue(f) // must not throw
+    assert(q.listQueue().isEmpty && q.listHistory().isEmpty)
+    assert(Files.exists(f.resolveSibling("q.json.corrupt")))
+    // and the queue is usable afterwards (saveState recreates the file)
+    assert(q.enqueue("fresh", dummyCfg).isDefined)
+    assert(new JobQueue(f).listQueue().map(_.name) == Vector("fresh"))
+  }
+
+  test("registerCanceller reports a cancel that raced ahead of registration") {
+    val q = new JobQueue(Files.createTempDirectory("jq").resolve("q.json"))
+    q.enqueue("r", dummyCfg)
+    q.dequeue()
+    // cancel lands BEFORE the worker registers (the dequeue->register window)
+    assert(q.cancel("r"))
+    var invoked = false
+    assert(q.registerCanceller("r", () => invoked = true),
+      "registerCanceller must report the pending cancel")
+    // the worker invokes its own canceller on a true return
+  }
+
+  test("job names cannot escape the jobs directory or shadow routes") {
+    val store = new graft.Cli.JobStore(Files.createTempDirectory("js"))
+    intercept[IllegalArgumentException](store.save("../escape", "", dummyCfg))
+    intercept[IllegalArgumentException](store.save("a/b", "", dummyCfg))
+    intercept[IllegalArgumentException](store.save("queue", "", dummyCfg))
+    store.save("fine-name", "", dummyCfg)
+    assert(store.get("fine-name").isDefined)
+  }
+
   // --------------------------------------------------- pool + spark cancel
 
   test("pool executes by priority and really cancels a running Spark job") {
@@ -83,12 +115,14 @@ class JobServiceSpec extends AnyFunSuite {
     val q = new JobQueue(Files.createTempDirectory("jq").resolve("q.json"))
     val ran = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val started = new java.util.concurrent.CountDownLatch(1)
+    @volatile var sleepyFast = false
     val exec: (org.apache.spark.sql.SparkSession, JobQueue.QueuedJob) => Unit =
       (s, job) => {
         ran.add(job.name)
-        if (job.name == "sleepy") {
+        if (job.name == "sleepy" && !sleepyFast) {
           started.countDown()
-          // interruptible distributed work: cancelJobGroup must kill it
+          // interruptible distributed work: the job-group cancel must
+          // kill it
           s.range(0, 1000000L, 1, numPartitions = 4).foreach { _ =>
             Thread.sleep(1L)
           }
@@ -120,6 +154,16 @@ class JobServiceSpec extends AnyFunSuite {
     val waitedSec = (System.nanoTime() - t0) / 1e9
     assert(q.status("sleepy").get.status == "cancelled")
     assert(waitedSec < 25.0, s"cancel took $waitedSec s — job group not killed")
+
+    // a cancelled NAME must be re-runnable: cancelJobGroupAndFutureJobs
+    // permanently poisons the group id, so the pool keys groups by run
+    // (name-seq) — a reused name-only group would kill this run on
+    // submission
+    sleepyFast = true
+    q.enqueue("sleepy", dummyCfg, "high")
+    assert(pool.awaitQuiet(30000L), "re-run of cancelled name did not finish")
+    assert(q.status("sleepy").get.status == "completed",
+      "fresh run of a previously cancelled job name must complete")
     pool.stop()
   }
 
