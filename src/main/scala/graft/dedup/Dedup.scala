@@ -237,9 +237,25 @@ object Dedup {
     * exact-collapse stage, so exact semantics agree everywhere.
     */
   def signatures(df0: DataFrame, idCol: String, textCol: String,
-      cfg: DedupConfig = DedupConfig()): DataFrame = {
+      cfg: DedupConfig = DedupConfig()): DataFrame =
+    signatureRows(df0, idCol, Normalizers.normalizeString(col(textCol)), None, cfg)
+
+  /** Signature table over text that is ALREADY normalized, with the
+    * 128-bit content hashes precomputed upstream (the exact-collapse
+    * stage already derived both from the same normalized text). Skips
+    * one full normalize pass and two full xxhash64 passes over the
+    * corpus text relative to [[signatures]] — value-identical because
+    * normalizeString is idempotent (byte-contract asserted in
+    * NormalizersSpec/WebDedupSpec) and the hash family is shared.
+    */
+  private[graft] def signaturesOfNormalized(df0: DataFrame, idCol: String, textCol: String,
+      th1Col: String, th2Col: String, cfg: DedupConfig): DataFrame =
+    signatureRows(df0, idCol, col(textCol), Some((col(th1Col), col(th2Col))), cfg)
+
+  private def signatureRows(df0: DataFrame, idCol: String, text: Column,
+      th: Option[(Column, Column)], cfg: DedupConfig): DataFrame = {
     val df = ensureParallel(df0)
-    val text = Normalizers.normalizeString(col(textCol))
+    val (th1, th2) = th.getOrElse((xxhash64(text), xxhash64(text, lit(1))))
     // no isNotNull filter on sig: Catalyst would push it below the
     // projection and recompute the full MinHash per row (observed in
     // .explain); posexplode skips null arrays and verify drops null
@@ -255,7 +271,7 @@ object Dedup {
         simhash64(ws_tokens(text), cfg.seed).as("simhash"),
         (if (cfg.exactVerify) shingle_hashes_chars(text, cfg.shingleK)
         else lit(null).cast("array<long>")).as("shingle_hashes"),
-        xxhash64(text).as("th1"), xxhash64(text, lit(1)).as("th2"))
+        th1.as("th1"), th2.as("th2"))
     } else {
       // hot path: fused one-pass kernels (byte-identical to the
       // word_shingles composition; shingles are contiguous byte ranges
@@ -266,7 +282,7 @@ object Dedup {
         simhash_words(text, cfg.seed).as("simhash"),
         (if (cfg.exactVerify) shingle_hashes(text, cfg.shingleK)
         else lit(null).cast("array<long>")).as("shingle_hashes"),
-        xxhash64(text).as("th1"), xxhash64(text, lit(1)).as("th2"))
+        th1.as("th1"), th2.as("th2"))
     }
   }
 
@@ -302,12 +318,29 @@ object Dedup {
 
     if (cfg.candidateMode == "star") {
       // per-bucket star: a bucket of size m contributes m-1 edges
-      // instead of m(m-1)/2. Shaped as partial-agg groupBy + equi-join
-      // rather than a window: the map-side min collapses hot buckets
-      // before the shuffle and AQE can skew-split the join, while a
-      // window would pin a mega-bucket onto one task.
-      val mins = bands.groupBy($"band", $"bh").agg(min($"id").as("id1"))
-      bands.join(mins, Seq("band", "bh"))
+      // instead of m(m-1)/2. ONE exchange for the whole star stage
+      // (r6 optimization, guide §2.4): hash-partition the band table
+      // once; the min aggregation and the bucket join both consume that
+      // SAME exchange (the aggregate's required distribution is already
+      // satisfied, so no partial-agg exchange, and ReuseExchange/AQE
+      // stage reuse dedups the join's side). The previous partial-agg
+      // groupBy + equi-join shape computed and shuffled the band table
+      // TWICE — and the map-side partial min reduced almost nothing,
+      // because a bucket's members are scattered across input
+      // partitions (measured at the 1.28M-doc bench corpus, 32 cores:
+      // mins 6.5 s + join-subtree 12.7 s before; one-exchange shape
+      // ~7 s total after). Skew note: a mega-bucket lands on one
+      // partition, where min + join stay LINEAR in the bucket size —
+      // the same degrade star mode guarantees everywhere else
+      // (MegaDomainSkewSpec); AQE picks the partition count
+      // (repartition by expression), so parallelism stays
+      // scale-adaptive.
+      val bandsR = bands.repartition($"band", $"bh")
+      val mins = bandsR.groupBy($"band", $"bh").agg(min($"id").as("id1"))
+      // shuffle_hash: build the (k-fold smaller) bucket-min table and
+      // STREAM the band table — the planner's SortMergeJoin default
+      // would sort the full band table even though no exchange is left
+      bandsR.join(mins.hint("shuffle_hash"), Seq("band", "bh"))
         .where($"id" =!= $"id1")
         .select($"id1", $"id".as("id2"))
         .distinct()
@@ -337,6 +370,20 @@ object Dedup {
   /** Verify candidate pairs: estimated (signature agreement) or exact
     * (shingle-hash-set Jaccard) similarity, filtered at cfg.threshold.
     * Output: (id1, id2, sim).
+    *
+    * Shape (r6 optimization, guide §2.3/§3.2): the candidate table is
+    * persisted and counted once (narrow — two longs per row), then each
+    * verify side joins a signature table SEMI-PRUNED to that side's
+    * probed ids instead of the full table. In star candidate mode the
+    * id1 side is the bucket-hub set (~1/k of the corpus), so the wide
+    * signature rows crossing the verify shuffles drop accordingly
+    * (measured at the 1.28M-doc bench corpus, 32 cores: 13-16 s
+    * two-full-join verify -> 7-8.5 s pruned). The prune follows the
+    * same bounded-broadcast discipline as [[verifyPairsCross]]: the
+    * candidate count upper-bounds the probed-id sets, and above
+    * cfg.maxProbeBroadcast the semi-join degrades from a broadcast to a
+    * shuffle. The candidate persist frees itself after the first action
+    * on the result (lineage intact, so later actions just recompute).
     */
   def verifyPairs(candidates: DataFrame, sigs: DataFrame,
       cfg: DedupConfig = DedupConfig()): DataFrame = {
@@ -348,11 +395,28 @@ object Dedup {
     val narrow =
       if (cfg.exactVerify) sigs.select($"id", $"shingle_hashes")
       else sigs.select($"id", $"sig")
-    candidates
-      .join(narrow.as("a"), candidates("id1") === col("a.id"))
-      .join(narrow.as("b"), candidates("id2") === col("b.id"))
+    val cands = candidates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = graft.CacheHygiene.described(sigs.sparkSession,
+      "graft: LSH candidate pairs")(cands.count())
+    val small = n <= cfg.maxProbeBroadcast
+    def pruned(idCol: String): DataFrame = {
+      val ids = cands.select(col(idCol).as("_pid")).distinct()
+      narrow.join(if (small) broadcast(ids) else ids, $"id" === $"_pid", "left_semi")
+    }
+    // join order + strategy (guide §3.1): the id2 (member) side joins
+    // first with the narrow candidate table as the shuffle-hash BUILD
+    // side, so the wide signature rows stream un-sorted; the id1 (hub)
+    // side joins second as its own build side — in star mode the hub
+    // set is ~1/k of the corpus, so the second join builds the SMALL
+    // pruned table while the wide intermediate streams. The planner's
+    // SortMergeJoin default would instead sort the signature table
+    // twice.
+    val out = cands.hint("shuffle_hash")
+      .join(pruned("id2").as("b"), cands("id2") === col("b.id"))
+      .join(pruned("id1").hint("shuffle_hash").as("a"), cands("id1") === col("a.id"))
       .select($"id1", $"id2", simCol.as("sim"))
       .where($"sim" >= cfg.threshold)
+    graft.CacheHygiene.releaseAfterAction(out, () => { cands.unpersist(blocking = false); () })
   }
 
   /** Full near-dup pipeline over (idCol, textCol):
@@ -458,7 +522,11 @@ object Dedup {
     // MinHash projection nearly serial (measured: 50 s vs 15 s for the
     // signature job at 4 cores). Inactive at real scale, where reps
     // spans many partitions.
-    val reps = grouped.select($"rep".as("id"), $"_t".as("text"))
+    // reps carry their normalized text AND the content hashes the
+    // collapse already computed: the signature projection below skips
+    // one normalize pass and two xxhash64 passes over the corpus text
+    // (r6 optimization; normalizeString is idempotent, same hash family)
+    val reps = grouped.select($"rep".as("id"), $"_t".as("text"), $"_h1", $"_h2")
     // signatures feed three joins (candidates + both verify sides):
     // persist so the MinHash projection runs once, exactly like the
     // checkpointed signature table in the staged pipeline (WebDedup).
@@ -471,7 +539,7 @@ object Dedup {
     // 640k-doc bench corpus — pure duplicated work, and it serializes
     // at 1 core). One count() runs the projection exactly once; the
     // herd then reads blocks. norm and grouped fill as its inputs.
-    val sigs = signatures(reps, "id", "text", cfg)
+    val sigs = signaturesOfNormalized(reps, "id", "text", "_h1", "_h2", cfg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nSigs = graft.CacheHygiene.described(sigs.sparkSession,
       "graft: exact collapse + signatures")(sigs.count())

@@ -138,13 +138,13 @@ object functions {
     col2(WinnowFingerprint(ex(c), k, window))
 
   /** Estimated Jaccard from two equal-length MinHash signatures:
-    * fraction of agreeing slots.
+    * fraction of agreeing slots. Fused kernel (graft.sim.SigAgree) —
+    * value-identical to the `aggregate(zip_with(...))` composition it
+    * replaced (FusedKernelsSpec), without the per-pair numHashes-element
+    * array allocation that rode every verified candidate.
     */
   def minhash_jaccard(sigA: Column, sigB: Column): Column =
-    aggregate(
-      zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v
-    ).cast("double") / size(sigA).cast("double")
+    col2(SigAgree(ex(sigA), ex(sigB)))
 
   /** Exact Jaccard over two (deduplicated) arrays. */
   def array_jaccard(a: Column, b: Column): Column = {

@@ -231,7 +231,12 @@ object Matching {
     // group priority rides the join for the trim ladder; min over the
     // pair's keys = the best group that produced the pair
     // keys are `tag:grp:value`; the grp segment is always index 2
-    // (values may contain ':' themselves, so never index from the end)
+    // (values may contain ':' themselves, so never index from the end).
+    // Only computed when a candidate cap needs the ladder (r6): with
+    // maxCandidates off, the split/element_at over every joined row and
+    // the min(_p) aggregate were pure waste — the column was dropped
+    // right after the pair dedup.
+    val needPrio = opts.maxCandidates > 0
     val prio = coalesce(try_element_at(typedLit(GroupPriority),
       element_at(split($"_bk", ":"), 2)), lit(6)).as("_p")
     // hot keys: one (tiny, parallel) count of the exploded key table
@@ -271,12 +276,29 @@ object Matching {
         val rightS = marked(right0).select(col(id2), $"_bk", explode(
           when($"_hot", sequence(lit(0), lit(opts.saltBuckets - 1)))
             .otherwise(array(lit(0)))).as("_salt"))
-        leftS.join(rightS, Seq("_bk", "_salt")).select(col(id1), col(id2), prio)
+        val out = leftS.join(rightS, Seq("_bk", "_salt"))
+        if (needPrio) out.select(col(id1), col(id2), prio)
+        else out.select(col(id1), col(id2))
       } else {
         val right = if (opts.broadcastProbe) broadcast(right0) else right0
-        left.join(right, "_bk").select(col(id1), col(id2), prio)
+        val out = left.join(right, "_bk")
+        if (needPrio) out.select(col(id1), col(id2), prio)
+        else out.select(col(id1), col(id2))
       }
-    val pairs = joined.groupBy(col(id1), col(id2)).agg(min($"_p").as("_p"))
+    val pairs0 =
+      if (needPrio) joined.groupBy(col(id1), col(id2)).agg(min($"_p").as("_p"))
+      else joined.dropDuplicates(id1, id2)
+    // With the zero-key fallback ACTIVE (source2 under the limit), the
+    // pair table feeds TWO plan branches — the capped output and the
+    // unmatched-probe anti-join. Left lazy, the whole candidate join
+    // subtree was computed twice per action (r6 measured: the scored
+    // 10k x 10k bench job carried a full duplicate of the blocking-join
+    // + pair-dedup chain inside the anti-join branch). Persist it while
+    // the fallback needs it; blocks free after the first action.
+    val fallbackActive = fallbackConfigured && rows2 <= opts.cartesianFallbackLimit
+    val pairs =
+      if (fallbackActive) pairs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else pairs0
 
     val capped =
       if (opts.maxCandidates > 0) {
@@ -308,10 +330,11 @@ object Matching {
     // no surviving candidates scan all of source2 when it is small.
     // Deliberately sized OUT at scale (one bounded count() decides,
     // shared with the salting gate above).
-    if (fallbackConfigured && rows2 <= opts.cartesianFallbackLimit) {
+    if (fallbackActive) {
       val unmatched = s1.select(col(id1))
         .join(pairs.select(col(id1)), Seq(id1), "left_anti")
-      capped.unionByName(unmatched.crossJoin(s2.select(col(id2))))
+      val out = capped.unionByName(unmatched.crossJoin(s2.select(col(id2))))
+      graft.CacheHygiene.releaseAfterAction(out, () => { pairs.unpersist(blocking = false); () })
     } else capped
   }
 
@@ -399,11 +422,19 @@ object Matching {
       else {
         // best candidate is emitted unconditionally (classification labels
         // it; the reference applies no threshold filter in best-match
-        // mode, matcher.py:1286-1295)
-        val w = Window.partitionBy(col(id1)).orderBy($"overall_score".desc, col(id2).asc)
-        classified.withColumn("_rn", row_number().over(w))
-          .where($"_rn" === 1)
-          .drop("_rn")
+        // mode, matcher.py:1286-1295). Top-1 per probe row as a
+        // PARTIAL-AGGREGATING min_by instead of a row_number window
+        // (r6, guide §2.3): the same total order — highest
+        // overall_score, ties to lowest id2 — expressed as the min of
+        // (-overall_score, id2), so map-side combine collapses each
+        // partition to one candidate row per probe id BEFORE the
+        // shuffle and nothing ever sorts the full scored table (the
+        // window form paid a full local sort under its group-limit).
+        val cols = classified.columns
+        classified.groupBy(col(id1))
+          .agg(min_by(struct(cols.map(col): _*),
+            struct(negate($"overall_score"), col(id2))).as("_best"))
+          .select(cols.map(n => col("_best").getField(n).as(n)): _*)
       }
     if (shortcut) {
       val perfectScored = perfect.select(

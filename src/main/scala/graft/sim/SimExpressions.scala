@@ -252,3 +252,31 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/** MinHash signature agreement over two array<long> columns — the
+  * verify-stage hot kernel (see VecKernels.sigAgree for the pinned
+  * composition semantics). Codegen'd single static call; the zip_with +
+  * aggregate composition it replaces allocated a numHashes-element
+  * array per candidate pair.
+  */
+case class SigAgree(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sig_agree needs two array<long>, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    VecKernels.sigAgree(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.sim.VecKernels.sigAgree($a, $b);")
+  override def prettyName: String = "sig_agree"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
