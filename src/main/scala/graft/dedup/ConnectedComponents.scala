@@ -107,8 +107,13 @@ object ConnectedComponents {
     // checkpoint pre-materialization — flush only after each check
     var pendingFree = List.empty[(DataFrame, Boolean)] // (frame, isCheckpoint)
     while (!converged && round < maxRounds) {
-      // neighbor messages: x's label flows to every neighbor
-      val msgs = adj.join(labels.withColumnRenamed("id", "u"), "u")
+      // neighbor messages: x's label flows to every neighbor.
+      // shuffle_hash on the label side (r6, guide §3.1): adj is
+      // checkpoint-partitioned on u and at least edge-factor larger
+      // than the label table, so the SortMergeJoin default re-SORTED
+      // the full adjacency every round; building the (narrow) labels
+      // per partition streams adj untouched.
+      val msgs = adj.join(labels.withColumnRenamed("id", "u").hint("shuffle_hash"), "u")
         .select($"v".as("id"), $"lbl")
       // fresh aliases on both union sides: `labels` attributes reach the
       // union through both branches (directly and via the msgs join),
@@ -129,7 +134,7 @@ object ConnectedComponents {
       // smaller ids in the same component, so this is safe and compresses
       // chains exponentially
       val jumped = viaEdges.as("a")
-        .join(viaEdges.select($"id".as("jid"), $"lbl".as("jlbl")).as("b"),
+        .join(viaEdges.select($"id".as("jid"), $"lbl".as("jlbl")).hint("shuffle_hash").as("b"),
           col("a.lbl") === col("b.jid"), "left")
         .select(col("a.id").as("id"),
           least(col("a.lbl"), coalesce(col("jlbl"), col("a.lbl"))).as("lbl"),

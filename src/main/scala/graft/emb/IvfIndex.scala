@@ -122,9 +122,7 @@ object IvfIndex {
       .join(cells, "cid")
       .where($"query_id" =!= $"neighbor_id")
       .select($"query_id", $"neighbor_id", Embeddings.cosine($"_qv", $"v").as("sim"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id".asc)
-    scored.withColumn("rank", row_number().over(w)).where($"rank" <= k)
+    Embeddings.topKPerQuery(scored, k)
   }
 
   /** Top-k neighbors per query, probing the `nprobe` nearest cells.

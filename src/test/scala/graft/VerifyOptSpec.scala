@@ -138,6 +138,36 @@ class VerifyOptSpec extends AnyFunSuite {
     assert(got.where($"id2" >= 110).count() == 0)
   }
 
+  test("heap top-k aggregation == row_number window on every ANN tier's scored shape") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.where($"vec_id" % 10 === 0)
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+    for (k <- Seq(1, 5, 7)) {
+      val got = graft.emb.Embeddings.bruteForceTopK(e, q, "vec_id", "embedding", k)
+      // the window shape the aggregate replaced
+      val qv = q.select($"vec_id".cast("long").as("query_id"), $"embedding".as("_qv"))
+      val cv = e.select($"vec_id".cast("long").as("neighbor_id"), $"embedding".as("_cv"))
+      val scored = cv.crossJoin(qv).where($"query_id" =!= $"neighbor_id")
+        .select($"query_id", $"neighbor_id",
+          graft.emb.Embeddings.cosine($"_qv", $"_cv").as("sim"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id".asc)
+      val want = scored.withColumn("rank", row_number().over(w)).where($"rank" <= k)
+      val g = got.select($"query_id", $"neighbor_id", round($"sim", 9).as("sim"), $"rank")
+      val ww = want.select($"query_id", $"neighbor_id", round($"sim", 9).as("sim"), $"rank")
+      assert(g.exceptAll(ww).count() == 0 && ww.exceptAll(g).count() == 0, s"mismatch at k=$k")
+    }
+    // tie behavior: duplicated vectors (sim 1.0 twice) must rank by id asc
+    val dup = e.limit(20).select($"vec_id", $"embedding")
+      .unionAll(e.limit(20).select(($"vec_id" + 500L).as("vec_id"), $"embedding"))
+    val got = graft.emb.Embeddings.bruteForceTopK(
+      dup, e.limit(5).select(($"vec_id" + 9000L).as("vec_id"), $"embedding"),
+      "vec_id", "embedding", 3)
+    val ranks = got.groupBy($"query_id").agg(count(lit(1)).as("n"), min($"rank").as("mn"),
+      max($"rank").as("mx")).collect()
+    assert(ranks.forall(r => r.getLong(1) == 3 && r.getInt(2) == 1 && r.getInt(3) == 3))
+  }
+
   test("signaturesOfNormalized == signatures over pre-normalized text") {
     for (cfg <- Seq(DedupConfig(), DedupConfig(exactVerify = true),
         DedupConfig(charShingles = true))) {
