@@ -1155,19 +1155,19 @@ object Dedup {
   def sharedSpanPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 24, window: Int = 8, minShared: Int = 2, minSpan: Int = 64,
       maxFpDf: Int = 0): DataFrame = {
+    // norm feeds three subtrees (the fingerprint explode + both LCS
+    // text joins) and the winnowing kernel feeds both self-join sides —
+    // un-persisted, each branch re-ran the normalize and (worse) the
+    // rolling-hash winnowing over every document (r6). One persisted
+    // pass each; blocks free when the first action on the result
+    // completes (recomputable, so a later action merely recomputes).
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val norm = ensureParallel(df.select(col(idCol).cast("long").as("id"),
-      Normalizers.normalizeString(col(textCol)).as("_t")))
-    val fps0 = norm.select($"id", explode(winnow_fingerprint($"_t", k, window)).as("fp"))
-    // With the DF guard on, fps0 (the expensive winnowing kernel over
-    // every document) is referenced from TWO subtrees (the hot
-    // aggregate and the left_anti) before the self-join's two more —
-    // persist it so the kernel runs once; blocks free when the first
-    // action on the result completes (recomputable, so a later action
-    // merely recomputes — see CacheHygiene).
+      Normalizers.normalizeString(col(textCol)).as("_t"))).persist(lvl)
+    val fpsIn = norm.select($"id", explode(winnow_fingerprint($"_t", k, window)).as("fp"))
+      .persist(lvl)
+    graft.CacheHygiene.described(df.sparkSession, "graft: winnow fingerprints")(fpsIn.count())
     val guarded = maxFpDf > 0
-    val fpsIn =
-      if (guarded) fps0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else fps0
     val fps =
       if (!guarded) fpsIn
       else {
@@ -1185,8 +1185,11 @@ object Dedup {
       .select($"id1", $"id2", $"shared_fps",
         longest_common_substring($"t1", $"t2").as("lcs_len"))
       .where($"lcs_len" >= minSpan)
-    if (guarded) graft.CacheHygiene.releaseAfterAction(out, () => { fpsIn.unpersist(false); () })
-    else out
+    graft.CacheHygiene.releaseAfterAction(out, () => {
+      fpsIn.unpersist(blocking = false)
+      norm.unpersist(blocking = false)
+      ()
+    })
   }
 
   // ------------------------------------------------ n-gram jaccard
@@ -1225,13 +1228,22 @@ object Dedup {
     */
   private def gramPairStats(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
-    val (grams, sizes) = gramTable(df, idCol, textCol, n)
-    grams.as("a").join(grams.as("b"), Seq("g"))
+    // the gram table feeds FOUR subtrees (both self-join sides + both
+    // size joins); un-persisted, each recomputed the normalize + gram
+    // explosion from the scan (4 scans visible in the r6 before-plan).
+    // One persisted pass + eager count (the AQE-herd discipline,
+    // decision 12); blocks free after the first action on the result.
+    val (grams0, _) = gramTable(df, idCol, textCol, n)
+    val grams = grams0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.CacheHygiene.described(df.sparkSession, "graft: gram table")(grams.count())
+    val sizes = grams.groupBy($"id").agg(count(lit(1)).as("n"))
+    val out = grams.as("a").join(grams.as("b"), Seq("g"))
       .where($"a.id" < $"b.id")
       .groupBy($"a.id".as("id1"), $"b.id".as("id2"))
       .agg(count(lit(1)).as("inter"))
       .join(sizes.select($"id".as("id1"), $"n".as("n1")), "id1")
       .join(sizes.select($"id".as("id2"), $"n".as("n2")), "id2")
+    graft.CacheHygiene.releaseAfterAction(out, () => { grams.unpersist(blocking = false); () })
   }
 
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
@@ -1241,7 +1253,12 @@ object Dedup {
         .select($"id1", $"id2",
           ($"inter".cast("double") / ($"n1" + $"n2" - $"inter").cast("double")).as("jaccard"))
         .where($"jaccard" >= threshold)
-    val (grams, sizes) = gramTable(df, idCol, textCol, n)
+    // same multi-consumer persist as gramPairStats: grams feeds the hot
+    // detection, the marker join, and the size aggregation
+    val (gramsRaw, _) = gramTable(df, idCol, textCol, n)
+    val grams = gramsRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.CacheHygiene.described(df.sparkSession, "graft: gram table")(grams.count())
+    val sizes = grams.groupBy($"id").agg(count(lit(1)).as("n"))
     val inter = {
       val hot = broadcast(grams.groupBy($"g").count()
         .where($"count" > maxGramDf).select($"g", lit(true).as("_hot")))
@@ -1259,12 +1276,13 @@ object Dedup {
           ($"inter_cold" + when($"hg1".isNull || $"hg2".isNull, 0)
             .otherwise(size(array_intersect($"hg1", $"hg2")))).as("inter"))
     }
-    inter
+    val out = inter
       .join(sizes.select($"id".as("id1"), $"n".as("n1")), "id1")
       .join(sizes.select($"id".as("id2"), $"n".as("n2")), "id2")
       .select($"id1", $"id2",
         ($"inter".cast("double") / ($"n1" + $"n2" - $"inter").cast("double")).as("jaccard"))
       .where($"jaccard" >= threshold)
+    graft.CacheHygiene.releaseAfterAction(out, () => { grams.unpersist(blocking = false); () })
   }
 
   /** Containment near-dup pairs — Broder's containment coefficient
