@@ -319,28 +319,29 @@ object Dedup {
     if (cfg.candidateMode == "star") {
       // per-bucket star: a bucket of size m contributes m-1 edges
       // instead of m(m-1)/2. ONE exchange for the whole star stage
-      // (r6 optimization, guide §2.4): hash-partition the band table
-      // once; the min aggregation and the bucket join both consume that
-      // SAME exchange (the aggregate's required distribution is already
-      // satisfied, so no partial-agg exchange, and ReuseExchange/AQE
-      // stage reuse dedups the join's side). The previous partial-agg
-      // groupBy + equi-join shape computed and shuffled the band table
-      // TWICE — and the map-side partial min reduced almost nothing,
-      // because a bucket's members are scattered across input
-      // partitions (measured at the 1.28M-doc bench corpus, 32 cores:
-      // mins 6.5 s + join-subtree 12.7 s before; one-exchange shape
-      // ~7 s total after). Skew note: a mega-bucket lands on one
-      // partition, where min + join stay LINEAR in the bucket size —
-      // the same degrade star mode guarantees everywhere else
-      // (MegaDomainSkewSpec); AQE picks the partition count
-      // (repartition by expression), so parallelism stays
+      // (r6 optimization, guide §2.4): the previous partial-agg groupBy
+      // + equi-join shape computed and shuffled the band table TWICE —
+      // the map-side partial min reduced almost nothing, because a
+      // bucket's members are scattered across input partitions
+      // (measured at the 1.28M-doc bench corpus, 32 cores: mins 6.5 s
+      // + join-subtree 12.7 s before; one-exchange shape ~7 s after).
+      // Skew note: a mega-bucket lands on one partition, where the
+      // window min stays LINEAR in the bucket size — the same degrade
+      // star mode guarantees everywhere else (MegaDomainSkewSpec) —
+      // and the window's group buffer spills; AQE picks the partition
+      // count (repartition by expression), so parallelism stays
       // scale-adaptive.
-      val bandsR = bands.repartition($"band", $"bh")
-      val mins = bandsR.groupBy($"band", $"bh").agg(min($"id").as("id1"))
-      // shuffle_hash: build the (k-fold smaller) bucket-min table and
-      // STREAM the band table — the planner's SortMergeJoin default
-      // would sort the full band table even though no exchange is left
-      bandsR.join(mins.hint("shuffle_hash"), Seq("band", "bh"))
+      // the min attaches via an UNORDERED window over the same
+      // partitioning rather than a groupBy + self-join: no second scan
+      // of the band table, no join at all, and — decisive for the
+      // 2 GiB-per-core bench child — no ShuffledHashJoin build, whose
+      // in-memory hashed relation cannot spill and OOM'd the 1-core
+      // level right at its memory edge (SparkOutOfMemoryError "not
+      // enough memory to build hash map", reproduced twice). The
+      // window's sort and group buffer both spill gracefully.
+      val w = org.apache.spark.sql.expressions.Window.partitionBy($"band", $"bh")
+      bands.repartition($"band", $"bh")
+        .withColumn("id1", min($"id").over(w))
         .where($"id" =!= $"id1")
         .select($"id1", $"id".as("id2"))
         .distinct()
@@ -405,15 +406,16 @@ object Dedup {
     }
     // join order + strategy (guide §3.1): the id2 (member) side joins
     // first with the narrow candidate table as the shuffle-hash BUILD
-    // side, so the wide signature rows stream un-sorted; the id1 (hub)
-    // side joins second as its own build side — in star mode the hub
-    // set is ~1/k of the corpus, so the second join builds the SMALL
-    // pruned table while the wide intermediate streams. The planner's
-    // SortMergeJoin default would instead sort the signature table
-    // twice.
+    // side — two longs per row, so the per-partition hashed relation
+    // stays small at any heap while the wide signature rows stream
+    // un-sorted. The id1 (hub) side joins second UNHINTED: its build
+    // would be wide signature rows, and an unspillable hashed relation
+    // of those OOM'd the 2 GiB-per-core bench child — the planner's
+    // sort-merge default spills gracefully and the hub prune keeps its
+    // sort input ~1/k of the corpus in star mode.
     val out = cands.hint("shuffle_hash")
       .join(pruned("id2").as("b"), cands("id2") === col("b.id"))
-      .join(pruned("id1").hint("shuffle_hash").as("a"), cands("id1") === col("a.id"))
+      .join(pruned("id1").as("a"), cands("id1") === col("a.id"))
       .select($"id1", $"id2", simCol.as("sim"))
       .where($"sim" >= cfg.threshold)
     graft.CacheHygiene.releaseAfterAction(out, () => { cands.unpersist(blocking = false); () })

@@ -98,13 +98,14 @@ class VerifyOptSpec extends AnyFunSuite {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sigs.count()
     val got = Dedup.lshCandidates(sigs, cfg)
-    // definitional recomputation: window-min per bucket (test-only shape)
+    // definitional recomputation: the r5 partial-agg groupBy + bucket
+    // join shape the one-exchange window form replaced
     val r = cfg.rowsPerBand
     val bandArr = array((0 until cfg.bands).map(b =>
       xxhash64(slice($"sig", b * r + 1, r), lit(b))): _*)
     val bands = sigs.select($"id", posexplode(bandArr).as(Seq("band", "bh")))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy($"band", $"bh")
-    val want = bands.withColumn("id1", min($"id").over(w))
+    val mins = bands.groupBy($"band", $"bh").agg(min($"id").as("id1"))
+    val want = bands.join(mins, Seq("band", "bh"))
       .where($"id" =!= $"id1")
       .select($"id1", $"id".as("id2"))
       .distinct()
