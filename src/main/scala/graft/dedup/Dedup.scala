@@ -169,6 +169,18 @@ final case class ClusterState(assignments: DataFrame, signatures: DataFrame,
 
 object Dedup {
 
+  /** Signature-table size at or below which [[verifyPairs]] keeps the
+    * plain two-join verify instead of the persisted-candidate +
+    * semi-pruned shape: below ~256k rows (~280 MB of signatures) the
+    * full table joins in a couple of seconds and the pruned shape's
+    * extra serial barriers (candidate persist + count + two probed-id
+    * broadcasts) dominate — the regime every incremental-merge batch
+    * and the sf-scale declared queries live in. Above it (the 1.28M-row
+    * bench corpus and anything larger) pruning halves the verify wall
+    * (13-16 s -> 7-8.5 s at 32 cores, measured).
+    */
+  val SimpleVerifyMaxSigs = 262144L
+
   /** Scan-parallelism guard: a small local parquet (or any few-file
     * source) coalesces into one or two input splits, serializing the
     * whole narrow pipeline (normalize -> shingle -> MinHash) on a
@@ -385,9 +397,18 @@ object Dedup {
     * cfg.maxProbeBroadcast the semi-join degrades from a broadcast to a
     * shuffle. The candidate persist frees itself after the first action
     * on the result (lineage intact, so later actions just recompute).
+    *
+    * `sigRows` (when >= 0): the signature table's row count, free at
+    * both pipeline call sites from their eager persists. At or below
+    * [[Dedup.SimpleVerifyMaxSigs]] the whole persist/count/prune
+    * apparatus is SKIPPED for the plain two-join verify — for a small
+    * signature table the pruned shape's extra job barriers cost more
+    * than they save, and the incremental merge's batch-side self-verify
+    * sits exactly in that regime (its fixed floor is barrier-bound;
+    * measured +1.5-2 s per merge with the pruned shape forced on).
     */
   def verifyPairs(candidates: DataFrame, sigs: DataFrame,
-      cfg: DedupConfig = DedupConfig()): DataFrame = {
+      cfg: DedupConfig = DedupConfig(), sigRows: Long = -1L): DataFrame = {
     val simCol =
       if (cfg.exactVerify)
         array_jaccard($"a.shingle_hashes", $"b.shingle_hashes")
@@ -396,6 +417,12 @@ object Dedup {
     val narrow =
       if (cfg.exactVerify) sigs.select($"id", $"shingle_hashes")
       else sigs.select($"id", $"sig")
+    if (sigRows >= 0 && sigRows <= SimpleVerifyMaxSigs)
+      return candidates
+        .join(narrow.as("a"), candidates("id1") === col("a.id"))
+        .join(narrow.as("b"), candidates("id2") === col("b.id"))
+        .select($"id1", $"id2", simCol.as("sim"))
+        .where($"sim" >= cfg.threshold)
     val cands = candidates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = graft.CacheHygiene.described(sigs.sparkSession,
       "graft: LSH candidate pairs")(cands.count())
@@ -560,7 +587,7 @@ object Dedup {
     */
   def clusterState(df: DataFrame, idCol: String, textCol: String,
       cfg: DedupConfig = DedupConfig()): ClusterState = {
-    val (exactEdges, sigs, _, free) = collapseAndSign(df, idCol, textCol, cfg)
+    val (exactEdges, sigs, nSigs, free) = collapseAndSign(df, idCol, textCol, cfg)
     // EAGER pair materialization: the banding/window/distinct/verify
     // chain is the expensive half of the job, and connected components
     // references it from FOUR branches (canon x flip x the initial
@@ -576,7 +603,7 @@ object Dedup {
     // relation dedup rewrites one side), making the adjacency
     // checkpoint silently re-run the whole verify chain per union
     // branch (measured on addBatch: ~5 s of a 19 s merge).
-    val nearEdges = verifyPairs(lshCandidates(sigs, cfg), sigs, cfg)
+    val nearEdges = verifyPairs(lshCandidates(sigs, cfg), sigs, cfg, sigRows = nSigs)
       .select($"id1".as("u"), $"id2".as("v"))
       .union(exactEdges)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -932,7 +959,7 @@ object Dedup {
     require(cfg.signatureCompatible(state.cfg),
       s"batch config cannot probe the base state's signatures: base=${state.cfg}, batch=$cfg")
     val (exactEdges, newSigs, nNewSigs, free) = collapseAndSign(newDocs, idCol, textCol, cfg)
-    val nn = verifyPairs(lshCandidates(newSigs, cfg), newSigs, cfg)
+    val nn = verifyPairs(lshCandidates(newSigs, cfg), newSigs, cfg, sigRows = nNewSigs)
       .select($"id1".as("u"), $"id2".as("v"))
     // batch-vs-base: sided verify with a broadcast-semi-pruned base
     // side — the base signature table is scanned once and never
