@@ -302,8 +302,23 @@ object Dedup {
 
   /** Candidate pairs via LSH banding: posexplode band hashes, shuffle
     * self-join on (band, hash) with id1 < id2, distinct.
+    *
+    * `sigRows` (when > 0, known for free at the pipeline call sites)
+    * sizes the star stage's single exchange from the DATA — band rows
+    * x 24 bytes at the 64 MB advisory partition size, floored by the
+    * cluster's parallelism — instead of inheriting the configured
+    * shuffle-partition count. The star stage chains sort + window +
+    * pair dedup + shuffle write in ONE task pipeline; at a 1-core/2 GiB
+    * executor the configured 4 partitions made each chain's concurrent
+    * footprint brush the task's execution-memory ceiling
+    * (UNABLE_TO_ACQUIRE_MEMORY in the window's input sorter, observed
+    * intermittently at the bench's fair-sized scaling child).
+    * Data-derived sizing keeps per-task state bounded at every scale
+    * and is identical to the configured count wherever that count is
+    * already adequate (32-core bench level: unchanged).
     */
-  def lshCandidates(sigs: DataFrame, cfg: DedupConfig = DedupConfig()): DataFrame = {
+  def lshCandidates(sigs: DataFrame, cfg: DedupConfig = DedupConfig(),
+      sigRows: Long = -1L): DataFrame = {
     val r = cfg.rowsPerBand
     val bandArr = array((0 until cfg.bands).map(b =>
       xxhash64(slice($"sig", b * r + 1, r), lit(b))): _*)
@@ -352,7 +367,17 @@ object Dedup {
       // enough memory to build hash map", reproduced twice). The
       // window's sort and group buffer both spill gracefully.
       val w = org.apache.spark.sql.expressions.Window.partitionBy($"band", $"bh")
-      bands.repartition($"band", $"bh")
+      val spark = sigs.sparkSession
+      val confPartitions = spark.sessionState.conf.numShufflePartitions
+      val partitions =
+        if (sigRows <= 0) confPartitions
+        else {
+          val bandBytes = sigRows * cfg.bands * 24L
+          math.max(math.max(spark.sparkContext.defaultParallelism,
+            confPartitions),
+            math.min(65536L, bandBytes / (64L << 20) + 1).toInt)
+        }
+      bands.repartition(partitions, $"band", $"bh")
         .withColumn("id1", min($"id").over(w))
         .where($"id" =!= $"id1")
         .select($"id1", $"id".as("id2"))
@@ -603,7 +628,8 @@ object Dedup {
     // relation dedup rewrites one side), making the adjacency
     // checkpoint silently re-run the whole verify chain per union
     // branch (measured on addBatch: ~5 s of a 19 s merge).
-    val nearEdges = verifyPairs(lshCandidates(sigs, cfg), sigs, cfg, sigRows = nSigs)
+    val nearEdges = verifyPairs(lshCandidates(sigs, cfg, sigRows = nSigs), sigs, cfg,
+        sigRows = nSigs)
       .select($"id1".as("u"), $"id2".as("v"))
       .union(exactEdges)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -959,7 +985,8 @@ object Dedup {
     require(cfg.signatureCompatible(state.cfg),
       s"batch config cannot probe the base state's signatures: base=${state.cfg}, batch=$cfg")
     val (exactEdges, newSigs, nNewSigs, free) = collapseAndSign(newDocs, idCol, textCol, cfg)
-    val nn = verifyPairs(lshCandidates(newSigs, cfg), newSigs, cfg, sigRows = nNewSigs)
+    val nn = verifyPairs(lshCandidates(newSigs, cfg, sigRows = nNewSigs), newSigs, cfg,
+      sigRows = nNewSigs)
       .select($"id1".as("u"), $"id2".as("v"))
     // batch-vs-base: sided verify with a broadcast-semi-pruned base
     // side — the base signature table is scanned once and never
